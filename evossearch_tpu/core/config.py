@@ -1,0 +1,200 @@
+"""Configuration system.
+
+Reproduces the env-var surface of the reference (`EVOSSEARCH_*` prefix,
+optional `.env` file, typed defaults, LAN URL discovery, startup banner —
+reference config.py:18-99) without the python-dotenv dependency, and adds
+TPU-specific knobs (mesh shape, shard size, compute dtype).
+
+The `/settings` endpoint round-trips this config to a generated `.env`
+file with the same key set as the reference (oldapp.py:2216-2248).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+
+def load_env_file(path: str | os.PathLike = ".env", *, override: bool = False) -> dict[str, str]:
+    """Minimal .env parser (stand-in for python-dotenv, reference config.py:9-16).
+
+    Lines of the form KEY=VALUE; '#' comments and blank lines ignored;
+    surrounding single/double quotes on values stripped. Loaded keys are
+    exported into os.environ (existing environment wins unless override).
+    """
+    path = Path(path)
+    loaded: dict[str, str] = {}
+    if not path.exists():
+        return loaded
+    try:
+        text = path.read_text(encoding="utf-8")
+    except OSError:
+        return loaded
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        key = key.strip()
+        value = value.strip()
+        if len(value) >= 2 and value[0] == value[-1] and value[0] in "'\"":
+            value = value[1:-1]
+        if not key:
+            continue
+        loaded[key] = value
+        if override or key not in os.environ:
+            os.environ[key] = value
+    return loaded
+
+
+def _env_bool(name: str, default: str = "False") -> bool:
+    return os.getenv(name, default).lower() in ("true", "1", "yes", "on")
+
+
+def _env_int(name: str, default: str) -> int:
+    try:
+        return int(os.getenv(name, default))
+    except ValueError:
+        return int(default)
+
+
+class Config:
+    """Live configuration, snapshot of the environment at construction.
+
+    Same knob inventory as reference config.py:20-45 plus TPU additions.
+    """
+
+    def __init__(self, env_path: str | os.PathLike | None = ".env") -> None:
+        if env_path is not None:
+            load_env_file(env_path)
+
+        # Server configuration (reference config.py:20-22)
+        self.HOST = os.getenv("EVOSSEARCH_HOST", "0.0.0.0")
+        self.PORT = _env_int("EVOSSEARCH_PORT", "5000")
+        self.DEBUG = _env_bool("EVOSSEARCH_DEBUG")
+
+        # CLIP model configuration (reference config.py:25)
+        self.CLIP_MODEL = os.getenv("EVOSSEARCH_CLIP_MODEL", "ViT-B/32")
+
+        # Search result limits (reference config.py:28-30)
+        self.MIN_RESULTS = _env_int("EVOSSEARCH_MIN_RESULTS", "3")
+        self.MAX_RESULTS = _env_int("EVOSSEARCH_MAX_RESULTS", "48")
+        self.DEFAULT_RESULTS = _env_int("EVOSSEARCH_DEFAULT_RESULTS", "12")
+
+        # Processing configuration (reference config.py:33-35). Unlike the
+        # reference (where BATCH_SIZE is read but never used), BATCH_SIZE here
+        # drives the batched device indexing pipeline.
+        self.BATCH_SIZE = _env_int("EVOSSEARCH_BATCH_SIZE", "32")
+        self.THUMBNAIL_SIZE = (400, 400)
+        self.THUMBNAIL_QUALITY = _env_int("EVOSSEARCH_THUMBNAIL_QUALITY", "85")
+
+        # File system configuration (reference config.py:38-39)
+        self.INDEX_FOLDER_NAME = os.getenv("EVOSSEARCH_INDEX_FOLDER", ".clip_index")
+        self.SUPPORTED_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+        # Comment system configuration (reference config.py:42)
+        self.MAX_COMMENT_LENGTH = _env_int("EVOSSEARCH_MAX_COMMENT_LENGTH", "100")
+
+        # Security configuration (reference config.py:45)
+        self.MAX_FILE_SIZE_MB = _env_int("EVOSSEARCH_MAX_FILE_SIZE_MB", "50")
+
+        # --- TPU-native additions (no reference counterpart) ---
+        # Compute dtype for encoder matmuls ("bfloat16" or "float32");
+        # embeddings/search accumulate in float32 either way.
+        self.COMPUTE_DTYPE = os.getenv("EVOSSEARCH_COMPUTE_DTYPE", "bfloat16")
+        # Embedding storage dtype in the shard store.
+        self.STORE_DTYPE = os.getenv("EVOSSEARCH_STORE_DTYPE", "float32")
+        # Rows per embedding shard file (also the per-device search block).
+        self.SHARD_SIZE = _env_int("EVOSSEARCH_SHARD_SIZE", str(1 << 20))
+        # Number of mesh devices to shard the corpus over (0 = all available).
+        self.MESH_DEVICES = _env_int("EVOSSEARCH_MESH_DEVICES", "0")
+        # Path to BPE vocab file (OpenAI bpe_simple_vocab_16e6.txt.gz or HF
+        # vocab.json+merges.txt directory); empty = bundled/auto-discovered.
+        self.BPE_VOCAB_PATH = os.getenv("EVOSSEARCH_BPE_VOCAB", "")
+        # Path to CLIP checkpoint (OpenAI .pt or HF directory); empty = none.
+        self.CHECKPOINT_PATH = os.getenv("EVOSSEARCH_CHECKPOINT", "")
+
+    # -- display helpers (contract of reference config.py:47-99) --
+
+    def get_server_urls(self) -> list[str]:
+        import socket
+
+        urls = [f"http://localhost:{self.PORT}"]
+        if self.HOST == "0.0.0.0":
+            try:
+                with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+                    s.connect(("8.8.8.8", 80))
+                    urls.append(f"http://{s.getsockname()[0]}:{self.PORT}")
+            except OSError:
+                pass
+            try:
+                for addr_info in socket.getaddrinfo(socket.gethostname(), None):
+                    ip = addr_info[4][0]
+                    if ip in ("127.0.0.1", "::1") or ip.startswith("169.254"):
+                        continue
+                    url = f"http://{ip}:{self.PORT}"
+                    if url not in urls:
+                        urls.append(url)
+            except OSError:
+                pass
+        return urls
+
+    def print_startup_info(self) -> None:
+        print("=" * 60)
+        print("evossearch-tpu - TPU-native CLIP Image Search Server")
+        print("=" * 60)
+        print(f"Host: {self.HOST}")
+        print(f"Port: {self.PORT}")
+        print(f"Debug: {self.DEBUG}")
+        print(f"CLIP Model: {self.CLIP_MODEL}")
+        print(f"Result Limits: {self.MIN_RESULTS}-{self.MAX_RESULTS} "
+              f"(default: {self.DEFAULT_RESULTS})")
+        print(f"Compute dtype: {self.COMPUTE_DTYPE}  Store dtype: {self.STORE_DTYPE}")
+        print()
+        print("Server available at:")
+        for url in self.get_server_urls():
+            print(f"  {url}")
+        print()
+        print("Use Ctrl+C to stop the server")
+        print("=" * 60)
+
+
+def write_env_file(settings: dict, path: str | os.PathLike = ".env") -> None:
+    """Write the generated .env, same key set as reference oldapp.py:2216-2244.
+
+    `settings` uses the camelCase keys of the /settings JSON contract.
+    """
+    content = f"""# evossearch-tpu Configuration
+# Generated by settings panel
+
+# Server Configuration
+EVOSSEARCH_HOST={settings['host']}
+EVOSSEARCH_PORT={settings['port']}
+EVOSSEARCH_DEBUG={str(settings['debug']).lower()}
+
+# CLIP model configuration
+EVOSSEARCH_CLIP_MODEL={settings['clipModel']}
+
+# Search result limits
+EVOSSEARCH_MIN_RESULTS={settings['minResults']}
+EVOSSEARCH_MAX_RESULTS={settings['maxResults']}
+EVOSSEARCH_DEFAULT_RESULTS={settings['defaultResults']}
+
+# Processing configuration
+EVOSSEARCH_BATCH_SIZE={settings.get('batchSize', 32)}
+EVOSSEARCH_THUMBNAIL_QUALITY={settings.get('thumbnailQuality', 85)}
+
+# File system configuration
+EVOSSEARCH_INDEX_FOLDER={settings.get('indexFolderName', '.clip_index')}
+
+# Comment system configuration
+EVOSSEARCH_MAX_COMMENT_LENGTH={settings.get('maxCommentLength', 100)}
+
+# Security configuration
+EVOSSEARCH_MAX_FILE_SIZE_MB={settings.get('maxFileSize', 50)}
+"""
+    Path(path).write_text(content, encoding="utf-8")
+
+
+# Default module-level instance (reference config.py:102).
+config = Config()

@@ -1,0 +1,79 @@
+"""Structured logging, per-stage timing, and counters.
+
+The reference has print-only observability (config.py:82-99, oldapp.py:1979);
+here metrics are first-class because the BASELINE targets (images/sec,
+query p50/p99) must be measurable in production.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+
+_FORMAT = "%(asctime)s %(levelname)s %(name)s: %(message)s"
+
+
+def get_logger(name: str) -> logging.Logger:
+    logger = logging.getLogger(f"evossearch.{name}")
+    if not logging.getLogger("evossearch").handlers:
+        root = logging.getLogger("evossearch")
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter(_FORMAT))
+        root.addHandler(handler)
+        root.setLevel(logging.INFO)
+        root.propagate = False
+    return logger
+
+
+class StageTimer:
+    """Accumulates wall-clock per named stage; thread-safe.
+
+    Used to break request latency into decode/encode/search/thumbnail stages
+    (SURVEY.md §5 tracing plan).
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.totals: dict[str, float] = defaultdict(float)
+        self.counts: dict[str, int] = defaultdict(int)
+
+    @contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
+
+    def snapshot(self) -> dict[str, dict[str, float]]:
+        with self._lock:
+            return {
+                name: {
+                    "total_s": self.totals[name],
+                    "count": self.counts[name],
+                    "mean_ms": 1e3 * self.totals[name] / max(1, self.counts[name]),
+                }
+                for name in self.totals
+            }
+
+
+class Counters:
+    """Monotonic named counters (images indexed, queries served, ...)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._values: dict[str, float] = defaultdict(float)
+
+    def add(self, name: str, value: float = 1.0) -> None:
+        with self._lock:
+            self._values[name] += value
+
+    def snapshot(self) -> dict[str, float]:
+        with self._lock:
+            return dict(self._values)

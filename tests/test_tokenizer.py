@@ -1,0 +1,108 @@
+"""Tokenizer tests: byte-BPE algorithm, id layout, clip.tokenize semantics.
+
+Token-id parity with the OpenAI release needs the real merge table, which is
+not shipped in this image (no egress); these tests pin the algorithm itself —
+merge order, id layout rule (merge i -> 512+i; full table => canonical ids),
+round-trips, and the tokenize() contract used by the reference at
+oldapp.py:48.
+"""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from evossearch_tpu.core.constants import (
+    CLIP_CONTEXT_LENGTH,
+    CLIP_EOT_TOKEN,
+    CLIP_SOT_TOKEN,
+)
+from evossearch_tpu.tokenizer import (
+    CLIPTokenizer,
+    bytes_to_unicode,
+    load_hf_merges,
+    load_openai_merges,
+)
+
+
+def test_bytes_to_unicode_bijective():
+    m = bytes_to_unicode()
+    assert len(m) == 256
+    assert len(set(m.values())) == 256
+    # printable ascii maps to itself
+    assert m[ord("a")] == "a"
+    assert m[ord("!")] == "!"
+
+
+def test_fallback_encode_decode_roundtrip():
+    tok = CLIPTokenizer()
+    for text in ["hello world", "a photo of a cat", "café ☕ 東京", "x" * 50]:
+        ids = tok.encode(text)
+        assert tok.decode(ids) == text.lower()
+
+
+def test_merge_order_is_respected():
+    # With merge ranks [h+e, he+l], "hell" segments as (hel, l</w>).
+    tok = CLIPTokenizer(merges=[("h", "e"), ("he", "l")])
+    word = tok._bpe("hell")
+    assert word == ("hel", "l</w>")
+    # Lower-rank merge applied first even when a later pair appears earlier
+    # in the word: ranks [l+l] then [e+l] -> "ell" = ("e", "ll</w>")? No:
+    # "ell" chars are e,l,l</w>; pair (l, l</w>) is not (l, l). Use "ella".
+    tok2 = CLIPTokenizer(merges=[("l", "l"), ("e", "ll")])
+    assert tok2._bpe("ella") == ("ell", "a</w>")
+
+
+def test_id_layout_rule():
+    tok = CLIPTokenizer(merges=[("h", "e")])
+    assert tok.encoder["h"] == list(bytes_to_unicode().values()).index("h")
+    assert tok.encoder["he"] == 512  # merge 0 -> id 512
+    assert tok.encoder["<|startoftext|>"] == CLIP_SOT_TOKEN
+    assert tok.encoder["<|endoftext|>"] == CLIP_EOT_TOKEN
+
+
+def test_cleaning_lowercases_and_collapses_whitespace():
+    tok = CLIPTokenizer()
+    assert tok.encode("Hello   WORLD") == tok.encode("hello world")
+    assert tok.encode("a&amp;b") == tok.encode("a&b")  # html unescape
+
+
+def test_tokenize_shape_padding_and_specials():
+    tok = CLIPTokenizer()
+    out = tok.tokenize(["hi", "a longer query about sunsets"])
+    assert out.shape == (2, CLIP_CONTEXT_LENGTH)
+    assert out.dtype == np.int32
+    for row in out:
+        assert row[0] == CLIP_SOT_TOKEN
+        eot_pos = int(np.argmax(row))  # EOT is the max id -> argmax finds it
+        assert row[eot_pos] == CLIP_EOT_TOKEN
+        assert (row[eot_pos + 1 :] == 0).all()
+
+
+def test_tokenize_overflow_raises_unless_truncate():
+    tok = CLIPTokenizer()
+    long_text = "word " * 100
+    with pytest.raises(RuntimeError):
+        tok.tokenize(long_text)
+    out = tok.tokenize(long_text, truncate=True)
+    assert out.shape == (1, CLIP_CONTEXT_LENGTH)
+    assert out[0, -1] == CLIP_EOT_TOKEN
+
+
+def test_openai_and_hf_loaders_agree(tmp_path):
+    merges = [("h", "e"), ("l", "l"), ("he", "ll")]
+    # OpenAI format: header line then merge lines, gzipped.
+    gz = tmp_path / "vocab.txt.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as f:
+        f.write("#version: synthetic\n")
+        f.write("\n".join(" ".join(p) for p in merges) + "\n")
+    # HF format: directory with merges.txt (comment header).
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(" ".join(p) for p in merges) + "\n"
+    )
+    assert load_openai_merges(gz) == merges
+    assert load_hf_merges(tmp_path) == merges
+    a = CLIPTokenizer(load_openai_merges(gz))
+    b = CLIPTokenizer(load_hf_merges(tmp_path))
+    assert a.encode("hello") == b.encode("hello")
+    assert a.encoder["hell"] == 512 + 2
