@@ -1,0 +1,137 @@
+"""CLIP image + text towers — functional JAX, numerically faithful to the
+OpenAI architecture (consumed by the reference via `model.encode_image` /
+`model.encode_text`, oldapp.py:34/50).
+
+Architecture (ViT-B/32 example; table in core/constants.py):
+  image: 224x224x3 -> 32x32 patchify-matmul (bias-free, like OpenAI's conv1)
+         -> +class token -> +pos embed -> ln_pre -> 12 pre-LN blocks
+         -> ln_post(CLS) -> proj(768->512)
+  text:  77 token ids -> token+pos embed -> 12 causal pre-LN blocks
+         -> ln_final -> pooled at EOT position (argmax of ids, EOT=49407)
+         -> text_projection(512->512)
+
+The patch embedding is expressed as reshape+matmul instead of a strided
+convolution: for non-overlapping patches the two are identical, and a plain
+GEMM maps straight onto the MXU without convolution lowering.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import CLIPModelSpec
+from .layers import TowerConfig, init_tower_params, layer_norm, transformer
+
+
+def _patchify(images: jax.Array, patch: int) -> jax.Array:
+    """(B, H, W, 3) -> (B, gh*gw, patch*patch*3), flattened (ph, pw, c).
+
+    The flatten order matches a conv kernel (out,in,kh,kw) transposed to
+    (kh,kw,in,out) and reshaped — see converters in convert.py.
+    """
+    B, H, W, C = images.shape
+    gh, gw = H // patch, W // patch
+    x = images.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B gh gw ph pw c
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def encode_image(
+    params: dict, images: jax.Array, spec: CLIPModelSpec,
+    compute_dtype=jnp.float32, normalize: bool = True, remat: bool = False,
+) -> jax.Array:
+    """images: (B, image_size, image_size, 3), preprocessed (normalized).
+
+    Returns (B, embed_dim) float32 embeddings, L2-normalized by default
+    (the reference normalizes at oldapp.py:35).
+    """
+    v = params["visual"]
+    cfg = TowerConfig(
+        width=spec.vision_width, layers=spec.vision_layers,
+        heads=spec.vision_heads, causal=False,
+        compute_dtype=compute_dtype, remat=remat,
+    )
+    x = _patchify(images.astype(compute_dtype), spec.patch_size)
+    x = jnp.dot(
+        x, v["patch_embed"]["kernel"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)
+    cls = jnp.broadcast_to(
+        v["class_embedding"].astype(compute_dtype), (x.shape[0], 1, spec.vision_width)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + v["pos_embed"].astype(compute_dtype)
+    x = layer_norm(v["ln_pre"], x)
+    x = transformer(v["blocks"], x, cfg)
+    pooled = layer_norm(v["ln_post"], x[:, 0, :]).astype(jnp.float32)
+    emb = pooled @ v["proj"].astype(jnp.float32)
+    if normalize:
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb
+
+
+def encode_text(
+    params: dict, tokens: jax.Array, spec: CLIPModelSpec,
+    compute_dtype=jnp.float32, normalize: bool = True, remat: bool = False,
+) -> jax.Array:
+    """tokens: (B, context_length) int32. Returns (B, embed_dim) float32."""
+    t = params["text"]
+    cfg = TowerConfig(
+        width=spec.text_width, layers=spec.text_layers,
+        heads=spec.text_heads, causal=True,
+        compute_dtype=compute_dtype, remat=remat,
+    )
+    x = t["token_embed"][tokens].astype(compute_dtype)
+    x = x + t["pos_embed"].astype(compute_dtype)
+    x = transformer(t["blocks"], x, cfg)
+    x = layer_norm(t["ln_final"], x).astype(jnp.float32)
+    # Pool at the EOT token: EOT has the highest id in the vocab, so argmax
+    # over ids finds its position (OpenAI semantics).
+    eot_pos = jnp.argmax(tokens, axis=-1)
+    pooled = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0, :]
+    emb = pooled @ t["proj"].astype(jnp.float32)
+    if normalize:
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb
+
+
+def init_params(key: jax.Array, spec: CLIPModelSpec) -> dict:
+    """Random-init full CLIP param pytree (OpenAI init scheme)."""
+    kv, kt, kp, kc, ke, kpv, kpt = jax.random.split(key, 7)
+    vw, tw = spec.vision_width, spec.text_width
+    patch_dim = spec.patch_size * spec.patch_size * 3
+    return {
+        "visual": {
+            "patch_embed": {
+                "kernel": jax.random.normal(kp, (patch_dim, vw)) * (vw ** -0.5)
+            },
+            "class_embedding": jax.random.normal(kc, (vw,)) * (vw ** -0.5),
+            "pos_embed": jax.random.normal(ke, (spec.num_image_tokens, vw))
+            * (vw ** -0.5),
+            "ln_pre": {"scale": jnp.ones((vw,)), "bias": jnp.zeros((vw,))},
+            "blocks": init_tower_params(
+                kv,
+                TowerConfig(width=vw, layers=spec.vision_layers, heads=spec.vision_heads),
+            ),
+            "ln_post": {"scale": jnp.ones((vw,)), "bias": jnp.zeros((vw,))},
+            "proj": jax.random.normal(kpv, (vw, spec.embed_dim)) * (vw ** -0.5),
+        },
+        "text": {
+            "token_embed": jax.random.normal(kt, (spec.vocab_size, tw)) * 0.02,
+            "pos_embed": jax.random.normal(ke, (spec.context_length, tw)) * 0.01,
+            "blocks": init_tower_params(
+                kt,
+                TowerConfig(
+                    width=tw, layers=spec.text_layers, heads=spec.text_heads, causal=True
+                ),
+            ),
+            "ln_final": {"scale": jnp.ones((tw,)), "bias": jnp.zeros((tw,))},
+            "proj": jax.random.normal(kpt, (tw, spec.embed_dim)) * (tw ** -0.5),
+        },
+        "logit_scale": jnp.asarray(jnp.log(1 / 0.07), dtype=jnp.float32),
+    }
+
+
+def count_params(params: dict) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))
