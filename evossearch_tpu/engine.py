@@ -1,0 +1,219 @@
+"""SearchEngine — the L2 engine layer tying tokenizer, CLIP towers, the
+fused preprocess, and the shard store into the operations the HTTP layer
+needs (reference counterpart: module-level functions + globals in
+oldapp.py:21-135).
+
+Differences from the reference, all deliberate:
+  * encoders are jitted once and batched (padded to fixed bucket sizes so
+    XLA compiles a handful of shapes, not one per request);
+  * loaded indexes are cached on device keyed by manifest mtime — the
+    reference re-reads FAISS + pickles from disk on every request
+    (oldapp.py:1993);
+  * weights come from a converted OpenAI/HF checkpoint when configured,
+    else deterministic random init (this image ships no CLIP weights).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from .core import CLIP_MODEL_SPECS, Config, config as default_config
+from .core.constants import CLIPModelSpec
+from .index import build_index, exact_search
+from .index.store import IndexReader
+from .tokenizer import load_tokenizer
+from .utils import Counters, StageTimer, get_logger
+
+log = get_logger("engine")
+
+
+def _bucket(n: int, cap: int) -> int:
+    """Smallest power-of-two >= n, capped — bounds jit recompiles."""
+    b = 1
+    while b < n and b < cap:
+        b <<= 1
+    return min(b, cap)
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        cfg: Config | None = None,
+        spec: CLIPModelSpec | None = None,
+        params: dict | None = None,
+    ):
+        self.cfg = cfg or default_config
+        self.spec = spec or CLIP_MODEL_SPECS[self.cfg.CLIP_MODEL]
+        self.tokenizer = load_tokenizer(self.cfg.BPE_VOCAB_PATH or None)
+        self._params = params
+        self._params_lock = threading.Lock()
+        self._index_cache: dict[str, tuple[float, object, IndexReader]] = {}
+        self._cache_lock = threading.Lock()
+        self.timers = StageTimer()
+        self.counters = Counters()
+
+    # -- model/params --
+
+    @property
+    def params(self) -> dict:
+        with self._params_lock:
+            if self._params is None:
+                self._params = self._load_params()
+            return self._params
+
+    def _load_params(self) -> dict:
+        import jax
+
+        if self.cfg.CHECKPOINT_PATH:
+            from .models import load_checkpoint
+
+            params, spec = load_checkpoint(self.cfg.CHECKPOINT_PATH)
+            self.spec = spec
+            log.info("loaded checkpoint %s (%s)", self.cfg.CHECKPOINT_PATH, spec.name)
+            return jax.device_put(params)
+        log.warning(
+            "no checkpoint configured (EVOSSEARCH_CHECKPOINT); using "
+            "deterministic random-init %s weights", self.spec.name,
+        )
+        from .models import init_params
+
+        return init_params(jax.random.key(0), self.spec)
+
+    @functools.cached_property
+    def _compute_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+
+    # -- encoders --
+
+    @functools.cached_property
+    def _jit_encode_image(self):
+        import jax
+
+        from .models import encode_image
+
+        spec, dtype = self.spec, self._compute_dtype
+
+        @jax.jit
+        def fn(params, images):
+            return encode_image(params, images, spec, compute_dtype=dtype)
+
+        return fn
+
+    @functools.cached_property
+    def _jit_encode_text(self):
+        import jax
+
+        from .models import encode_text
+
+        spec, dtype = self.spec, self._compute_dtype
+
+        @jax.jit
+        def fn(params, tokens):
+            return encode_text(params, tokens, spec, compute_dtype=dtype)
+
+        return fn
+
+    def encode_images(self, pil_images: list) -> np.ndarray:
+        """PIL images -> (B, embed_dim) L2-normalized float32 embeddings."""
+        from .preprocess import preprocess_batch
+
+        n = len(pil_images)
+        if n == 0:
+            return np.zeros((0, self.spec.embed_dim), np.float32)
+        with self.timers.stage("preprocess"):
+            batch = preprocess_batch(
+                pil_images, target=self.spec.image_size,
+                out_dtype=self._compute_dtype,
+            )
+        b = _bucket(n, max(self.cfg.BATCH_SIZE, 1))
+        with self.timers.stage("encode_image"):
+            import jax.numpy as jnp
+
+            if n < b:
+                pad = jnp.zeros((b - n,) + batch.shape[1:], batch.dtype)
+                batch = jnp.concatenate([batch, pad], axis=0)
+            out = []
+            for start in range(0, batch.shape[0], b):
+                out.append(self._jit_encode_image(self.params, batch[start:start + b]))
+            emb = np.concatenate([np.asarray(o) for o in out], axis=0)[:n]
+        self.counters.add("images_encoded", n)
+        return emb
+
+    def encode_text(self, text: str) -> np.ndarray:
+        """Query text -> (embed_dim,) L2-normalized float32 embedding."""
+        with self.timers.stage("encode_text"):
+            tokens = self.tokenizer.tokenize([text], self.spec.context_length)
+            emb = np.asarray(self._jit_encode_text(self.params, tokens))[0]
+        self.counters.add("texts_encoded")
+        return emb
+
+    # -- index operations --
+
+    def index_folder(self, folder: str, resume: bool = False) -> int:
+        """Batched (re)index of a folder; returns row count (0 = no images)."""
+        with self.timers.stage("index_folder"):
+            count = build_index(
+                folder,
+                encode_batch=self.encode_images,
+                model_name=self.spec.name,
+                dim=self.spec.embed_dim,
+                batch_size=self.cfg.BATCH_SIZE,
+                dtype_name=self.cfg.STORE_DTYPE,
+                extensions=self.cfg.SUPPORTED_EXTENSIONS,
+                index_folder_name=self.cfg.INDEX_FOLDER_NAME,
+                resume=resume,
+            )
+        with self._cache_lock:
+            self._index_cache.pop(str(Path(folder)), None)
+        return count
+
+    def open_index(self, folder: str) -> IndexReader | None:
+        return IndexReader.open(folder, self.cfg.INDEX_FOLDER_NAME)
+
+    def _device_index(self, folder: str):
+        """(device embedding matrix, reader) with mtime-keyed caching."""
+        import jax.numpy as jnp
+
+        key = str(Path(folder))
+        reader = self.open_index(folder)
+        if reader is None:
+            return None, None
+        mtime = reader.mtime()
+        with self._cache_lock:
+            cached = self._index_cache.get(key)
+            if cached is not None and cached[0] == mtime:
+                return cached[1], cached[2]
+        emb = jnp.asarray(np.asarray(reader.embeddings()))
+        with self._cache_lock:
+            self._index_cache[key] = (mtime, emb, reader)
+        return emb, reader
+
+    def search_embedding(self, folder: str, query: np.ndarray, k: int):
+        """Top-k over a folder's index. Returns (scores, indices, reader)
+        or None when the folder isn't indexed."""
+        emb, reader = self._device_index(folder)
+        if reader is None:
+            return None
+        k = min(k, reader.count)
+        if k == 0:
+            return np.zeros((0,), np.float32), np.zeros((0,), np.int64), reader
+        with self.timers.stage("search"):
+            scores, idx = exact_search(emb, query.astype(np.float32), k)
+        self.counters.add("queries")
+        return scores, idx, reader
+
+    def search_text(self, folder: str, query: str, k: int):
+        return self.search_embedding(folder, self.encode_text(query), k)
+
+    def search_image(self, folder: str, pil_image, k: int):
+        emb = self.encode_images([pil_image])[0]
+        return self.search_embedding(folder, emb, k)
+
+    def is_indexed(self, folder: str) -> bool:
+        return self.open_index(folder) is not None

@@ -1,0 +1,80 @@
+"""Per-folder image comment store (component G).
+
+Same on-disk contract as the reference (`.clip_index/comments.json`, a JSON
+dict {absolute_image_path: ["[YYYY-MM-DD HH:MM:SS] text", ...]}; load at
+oldapp.py:137-150, save at :152-165, append with server-side timestamp at
+:172-186). Unlike the reference's unlocked read-modify-write, appends here
+hold an OS file lock, so concurrent requests can't lose comments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from contextlib import contextmanager
+from datetime import datetime
+from pathlib import Path
+
+from .store import index_dir
+
+
+def _comments_file(folder, index_folder_name: str = ".clip_index") -> Path:
+    return index_dir(folder, index_folder_name) / "comments.json"
+
+
+@contextmanager
+def _locked(path: Path):
+    """Advisory exclusive lock on a sidecar .lock file (POSIX fcntl)."""
+    import fcntl
+
+    path.parent.mkdir(exist_ok=True)
+    lock_path = path.with_suffix(".lock")
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
+
+
+def load_comments(folder, index_folder_name: str = ".clip_index") -> dict:
+    """{} on missing/corrupt file (reference oldapp.py:142-150)."""
+    try:
+        return json.loads(
+            _comments_file(folder, index_folder_name).read_text(encoding="utf-8")
+        )
+    except Exception:
+        return {}
+
+
+def save_comments(folder, data: dict, index_folder_name: str = ".clip_index") -> bool:
+    try:
+        f = _comments_file(folder, index_folder_name)
+        f.parent.mkdir(exist_ok=True)
+        tmp = f.with_suffix(".json.tmp")
+        tmp.write_text(
+            json.dumps(data, ensure_ascii=False, indent=2), encoding="utf-8"
+        )
+        tmp.replace(f)
+        return True
+    except Exception as e:
+        print(f"Error saving comments: {e}")
+        return False
+
+
+def get_image_comments(
+    folder, image_path: str, index_folder_name: str = ".clip_index"
+) -> list[str]:
+    return load_comments(folder, index_folder_name).get(image_path, [])
+
+
+def add_image_comment(
+    folder, image_path: str, comment: str, index_folder_name: str = ".clip_index"
+) -> bool:
+    """Append with the reference's timestamp format (oldapp.py:180-182)."""
+    f = _comments_file(folder, index_folder_name)
+    with _locked(f):
+        data = load_comments(folder, index_folder_name)
+        timestamp = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        data.setdefault(image_path, []).append(f"[{timestamp}] {comment}")
+        return save_comments(folder, data, index_folder_name)

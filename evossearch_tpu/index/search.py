@@ -1,0 +1,63 @@
+"""Single-device exact top-k search over an embedding matrix.
+
+Replaces FAISS ``IndexFlatIP.search`` (reference oldapp.py:2005, 2112):
+embeddings are L2-normalized at encode time, so inner product == cosine,
+and exact top-k is one (N, d) x (d,) matvec plus a top-k selection. On TPU
+the matvec rides the MXU and ``lax.top_k`` runs fused on device — this is
+the baseline the Pallas streaming kernel (ops/) must beat.
+
+Determinism contract: ties broken by LOWER row index (jax.lax.top_k is
+stable in that sense; property-tested in tests/test_search.py), which the
+multi-chip merge in parallel/ relies on to make sharded results bit-equal
+to single-device results.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_matvec(emb: jax.Array, query: jax.Array, k: int):
+    scores = jnp.dot(
+        emb, query.astype(emb.dtype), preferred_element_type=jnp.float32
+    )
+    return jax.lax.top_k(scores, k)
+
+
+def exact_search(emb, query: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k by inner product.
+
+    emb: (N, d) device or host array (f32/bf16). query: (d,) float32.
+    Returns (scores (k,), indices (k,)) sorted by descending score —
+    the same contract as FAISS index.search with a single query row.
+    """
+    n = emb.shape[0]
+    k = min(k, n)
+    if k == 0:
+        return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+    scores, idx = _topk_matvec(jnp.asarray(emb), jnp.asarray(query), k)
+    return np.asarray(scores), np.asarray(idx)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_batch(emb: jax.Array, queries: jax.Array, k: int):
+    scores = jnp.dot(
+        queries.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
+    )
+    return jax.lax.top_k(scores, k)
+
+
+def exact_search_batch(emb, queries: np.ndarray, k: int):
+    """Batched exact top-k: queries (Q, d) -> (scores (Q,k), indices (Q,k))."""
+    n = emb.shape[0]
+    k = min(k, n)
+    if k == 0:
+        q = np.asarray(queries).shape[0]
+        return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
+    scores, idx = _topk_batch(jnp.asarray(emb), jnp.asarray(queries), k)
+    return np.asarray(scores), np.asarray(idx)

@@ -1,0 +1,67 @@
+"""Exact search: numpy-oracle equivalence, tie determinism, FAISS-shape
+contract (reference oldapp.py:2002-2005)."""
+
+import numpy as np
+
+from evossearch_tpu.index import exact_search, exact_search_batch
+
+
+def _oracle(emb, q, k):
+    scores = emb.astype(np.float64) @ q.astype(np.float64)
+    order = np.lexsort((np.arange(len(scores)), -scores))  # score desc, idx asc
+    return scores[order[:k]], order[:k]
+
+
+def test_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((1000, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal(64).astype(np.float32)
+    q /= np.linalg.norm(q)
+    scores, idx = exact_search(emb, q, 48)
+    o_scores, o_idx = _oracle(emb, q, 48)
+    np.testing.assert_array_equal(idx, o_idx)
+    np.testing.assert_allclose(scores, o_scores, atol=1e-5)
+
+
+def test_adversarial_ties_deterministic():
+    # Many duplicate rows -> equal scores; contract: lower index first.
+    emb = np.tile(np.eye(4, dtype=np.float32)[0], (32, 1))
+    q = np.eye(4, dtype=np.float32)[0]
+    _, idx = exact_search(emb, q, 10)
+    np.testing.assert_array_equal(idx, np.arange(10))
+
+
+def test_k_clamped_to_n():
+    emb = np.eye(4, dtype=np.float32)
+    q = emb[2]
+    scores, idx = exact_search(emb, q, 48)  # k > n
+    assert len(scores) == 4
+    assert idx[0] == 2
+
+
+def test_empty_index():
+    scores, idx = exact_search(np.zeros((0, 8), np.float32), np.zeros(8, np.float32), 5)
+    assert scores.shape == (0,) and idx.shape == (0,)
+
+
+def test_batch_matches_single():
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((500, 32)).astype(np.float32)
+    queries = rng.standard_normal((4, 32)).astype(np.float32)
+    b_scores, b_idx = exact_search_batch(emb, queries, 12)
+    for i in range(4):
+        s, ix = exact_search(emb, queries[i], 12)
+        np.testing.assert_array_equal(b_idx[i], ix)
+        np.testing.assert_allclose(b_scores[i], s, atol=1e-5)
+
+
+def test_bfloat16_index_still_exact_ordering_on_separated_scores():
+    import ml_dtypes
+
+    rng = np.random.default_rng(2)
+    emb = rng.standard_normal((300, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = emb[17] + 0.0  # near-duplicate query: top-1 must be row 17
+    _, idx = exact_search(emb.astype(ml_dtypes.bfloat16), q, 5)
+    assert idx[0] == 17
