@@ -1,0 +1,90 @@
+"""Sharded search on a forced 8-device CPU mesh: bit-identity with the
+single-device path, including adversarial ties and ragged tail shards
+(SURVEY.md §4.3)."""
+
+import jax
+import numpy as np
+import pytest
+
+from evossearch_tpu.index import exact_search
+from evossearch_tpu.parallel import ShardedIndex, corpus_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return corpus_mesh()
+
+
+def _check_identical(matrix, query, k, mesh):
+    s_scores, s_idx = exact_search(matrix, query, k)
+    sh = ShardedIndex.from_matrix(matrix, mesh=mesh)
+    d_scores, d_idx = sh.search(query, k)
+    np.testing.assert_array_equal(d_idx, s_idx)
+    np.testing.assert_allclose(d_scores, s_scores, atol=1e-6)
+
+
+def test_matches_single_device(mesh):
+    rng = np.random.default_rng(0)
+    matrix = rng.standard_normal((1000, 64)).astype(np.float32)
+    matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
+    query = rng.standard_normal(64).astype(np.float32)
+    _check_identical(matrix, query, 48, mesh)
+
+
+def test_ragged_tail_shard(mesh):
+    rng = np.random.default_rng(1)
+    # 1003 rows over 8 shards -> rows_per_shard 126, last shard 121 valid
+    matrix = rng.standard_normal((1003, 32)).astype(np.float32)
+    query = rng.standard_normal(32).astype(np.float32)
+    _check_identical(matrix, query, 20, mesh)
+
+
+def test_adversarial_ties_bit_identical(mesh):
+    # 256 identical rows: every score ties; contract = lowest global indices
+    matrix = np.tile(np.eye(8, dtype=np.float32)[0], (256, 1))
+    query = np.eye(8, dtype=np.float32)[0]
+    sh = ShardedIndex.from_matrix(matrix, mesh=mesh)
+    scores, idx = sh.search(query, 10)
+    np.testing.assert_array_equal(idx, np.arange(10))
+    np.testing.assert_allclose(scores, 1.0)
+
+
+def test_tiny_corpus_smaller_than_k_times_shards(mesh):
+    rng = np.random.default_rng(2)
+    matrix = rng.standard_normal((5, 16)).astype(np.float32)  # < 8 shards
+    query = rng.standard_normal(16).astype(np.float32)
+    _check_identical(matrix, query, 5, mesh)
+
+
+def test_k_clamped(mesh):
+    rng = np.random.default_rng(3)
+    matrix = rng.standard_normal((10, 16)).astype(np.float32)
+    sh = ShardedIndex.from_matrix(matrix, mesh=mesh)
+    scores, idx = sh.search(rng.standard_normal(16).astype(np.float32), 48)
+    assert len(scores) == 10
+
+
+def test_negative_scores_not_beaten_by_padding(mesh):
+    # all-negative scores: padded (zero) rows would win if not masked
+    rng = np.random.default_rng(4)
+    matrix = -np.abs(rng.standard_normal((37, 16))).astype(np.float32)
+    query = np.abs(rng.standard_normal(16)).astype(np.float32)
+    _check_identical(matrix, query, 10, mesh)
+    sh = ShardedIndex.from_matrix(matrix, mesh=mesh)
+    scores, idx = sh.search(query, 10)
+    assert (idx < 37).all()
+    assert (scores < 0).all()
+
+
+def test_bfloat16_corpus(mesh):
+    import ml_dtypes
+
+    rng = np.random.default_rng(5)
+    matrix = rng.standard_normal((500, 32)).astype(np.float32)
+    matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
+    bf = matrix.astype(ml_dtypes.bfloat16)
+    query = matrix[123]
+    sh = ShardedIndex.from_matrix(bf, mesh=mesh)
+    scores, idx = sh.search(query, 5)
+    assert idx[0] == 123
