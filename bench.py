@@ -6,6 +6,10 @@ Prints ONE JSON line:
 vs_baseline > 1.0 means better (faster) than the 10 ms target.
 
 Extra context (encode throughput, p99) goes to stderr.
+
+Sync methodology: under the axon loopback platform, jax.block_until_ready
+returns before device execution completes, so every timed region syncs by
+fetching a (small) result to host with np.asarray().
 """
 
 from __future__ import annotations
@@ -42,16 +46,17 @@ def bench_search() -> dict:
     queries = jax.random.normal(jax.random.key(1), (ITERS + WARMUP, DIM),
                                 dtype=jnp.float32)
     queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
-    jax.block_until_ready((emb, queries))
 
-    # warmup (compile + cache)
+    # warmup (compile + cache); np.asarray is the host-sync point
     for i in range(WARMUP):
-        jax.block_until_ready(_topk_matvec(emb, queries[i], K))
+        np.asarray(_topk_matvec(emb, queries[i], K)[0])
 
     times = []
     for i in range(ITERS):
         t0 = time.perf_counter()
-        jax.block_until_ready(_topk_matvec(emb, queries[WARMUP + i], K))
+        s, ix = _topk_matvec(emb, queries[WARMUP + i], K)
+        np.asarray(s)
+        np.asarray(ix)
         times.append((time.perf_counter() - t0) * 1e3)
     times = np.array(times)
     p50, p99 = float(np.percentile(times, 50)), float(np.percentile(times, 99))
@@ -79,12 +84,12 @@ def bench_encode() -> None:
     def fwd(p, x):
         return encode_image(p, x, spec, compute_dtype=jnp.bfloat16)
 
-    jax.block_until_ready(fwd(params, images))
+    np.asarray(fwd(params, images))  # compile + warm
     t0 = time.perf_counter()
     reps = 10
-    for _ in range(reps):
-        out = fwd(params, images)
-    jax.block_until_ready(out)
+    outs = [fwd(params, images) for _ in range(reps)]
+    for out in outs:
+        np.asarray(out)  # host sync (see module docstring)
     dt = time.perf_counter() - t0
     ips = reps * batch / dt
     log(f"encode ViT-B/32 bf16: {ips:.0f} images/sec/chip (batch {batch}) "

@@ -21,12 +21,42 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Rows per block for the two-stage top-k. A flat lax.top_k over millions of
+# scores is a full selection over one huge vector; reshaping to (G, BLOCK)
+# and running per-block top-k (one small, well-tiled selection per row)
+# followed by a merge over G*k candidates is exact and far faster on TPU.
+_BLOCK = 4096
+
+
+def blocked_top_k(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over a 1-D score vector via block-then-merge.
+
+    Tie contract preserved: per-block top_k favors lower in-block index and
+    blocks are concatenated in order, so the stable final top_k yields
+    ascending global indices for equal scores — identical to flat top_k.
+    """
+    n = scores.shape[0]
+    if n <= _BLOCK or k >= _BLOCK:
+        return jax.lax.top_k(scores, k)
+    g = -(-n // _BLOCK)
+    pad = g * _BLOCK - n
+    if pad:
+        scores = jnp.concatenate(
+            [scores, jnp.full((pad,), -jnp.inf, scores.dtype)]
+        )
+    blocks = scores.reshape(g, _BLOCK)
+    bs, bi = jax.lax.top_k(blocks, k)  # (g, k) per-block candidates
+    gidx = bi + (jnp.arange(g, dtype=bi.dtype) * _BLOCK)[:, None]
+    fs, fp = jax.lax.top_k(bs.reshape(-1), k)
+    return fs, gidx.reshape(-1)[fp]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_matvec(emb: jax.Array, query: jax.Array, k: int):
     scores = jnp.dot(
         emb, query.astype(emb.dtype), preferred_element_type=jnp.float32
     )
-    return jax.lax.top_k(scores, k)
+    return blocked_top_k(scores, k)
 
 
 def exact_search(emb, query: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -49,7 +79,7 @@ def _topk_batch(emb: jax.Array, queries: jax.Array, k: int):
     scores = jnp.dot(
         queries.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
     )
-    return jax.lax.top_k(scores, k)
+    return jax.vmap(lambda s: blocked_top_k(s, k))(scores)
 
 
 def exact_search_batch(emb, queries: np.ndarray, k: int):
