@@ -5,7 +5,8 @@ from .comments import (
     load_comments,
     save_comments,
 )
-from .search import exact_search, exact_search_batch
+from .ivf import IVFIndex
+from .search import blocked_top_k, exact_search, exact_search_batch
 from .store import IndexReader, IndexWriter, exists, index_dir, load_progress
 
 __all__ = [
@@ -17,6 +18,8 @@ __all__ = [
     "save_comments",
     "exact_search",
     "exact_search_batch",
+    "blocked_top_k",
+    "IVFIndex",
     "IndexReader",
     "IndexWriter",
     "exists",

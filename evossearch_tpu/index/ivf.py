@@ -1,0 +1,140 @@
+"""IVF approximate index: spherical k-means coarse centroids + padded
+bucket scan (BASELINE.json config 5: >=99% recall@48 vs exact).
+
+TPU-first layout: instead of FAISS-style ragged inverted lists, vectors are
+stored in a dense (nlist, bucket_cap, d) tensor — every probe is then a
+static-shape gather + one batched GEMM, no dynamic list walking. Vectors
+that overflow a bucket spill into a dense "tail" matrix that is ALWAYS
+scanned exactly, so pathological cluster imbalance degrades to extra exact
+work, never to lost recall.
+
+Query: top-nprobe centroids by IP -> gather those buckets -> fused scores +
+mask + blocked top-k -> merge with the spill scan. All static shapes, one
+jit per (k, nprobe).
+
+Training: Lloyd iterations for spherical k-means (assignment by max IP,
+centroid update by mean + renormalize), fully on device with one-hot
+matmul segment sums — batched and MXU-friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .search import blocked_top_k
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _kmeans(emb: jax.Array, init: jax.Array, iters: int) -> jax.Array:
+    """Spherical k-means; emb (N, d) L2-normalized, init (nlist, d)."""
+
+    def step(cent, _):
+        scores = emb @ cent.T  # (N, nlist)
+        assign = jnp.argmax(scores, axis=1)
+        onehot = jax.nn.one_hot(assign, cent.shape[0], dtype=emb.dtype)
+        sums = onehot.T @ emb  # (nlist, d)
+        counts = onehot.sum(axis=0)[:, None]
+        new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), cent)
+        norm = jnp.linalg.norm(new, axis=1, keepdims=True)
+        return new / jnp.maximum(norm, 1e-12), None
+
+    cent, _ = jax.lax.scan(step, init, None, length=iters)
+    return cent
+
+
+@dataclass
+class IVFIndex:
+    centroids: jax.Array  # (nlist, d)
+    buckets: jax.Array  # (nlist, cap, d)
+    bucket_ids: jax.Array  # (nlist, cap) global row ids, -1 = pad
+    spill: jax.Array  # (S, d) overflow rows, scanned exactly
+    spill_ids: jax.Array  # (S,)
+    n: int
+    nlist: int
+
+    @classmethod
+    def build(
+        cls, emb: np.ndarray, nlist: int = 0, iters: int = 10,
+        bucket_factor: float = 2.0, seed: int = 0,
+    ) -> "IVFIndex":
+        """Train centroids and lay out buckets from an (N, d) matrix."""
+        emb = np.asarray(emb, np.float32)
+        n, d = emb.shape
+        nlist = nlist or max(1, int(np.sqrt(n)))
+        nlist = min(nlist, n)
+        rng = np.random.default_rng(seed)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb_n = emb / np.maximum(norms, 1e-12)
+        init = emb_n[rng.choice(n, size=nlist, replace=False)]
+        cent = np.asarray(_kmeans(jnp.asarray(emb_n), jnp.asarray(init), iters))
+
+        assign = np.asarray(
+            jnp.argmax(jnp.asarray(emb_n) @ jnp.asarray(cent).T, axis=1)
+        )
+        cap = max(1, int(np.ceil(n / nlist * bucket_factor)))
+        buckets = np.zeros((nlist, cap, d), np.float32)
+        bucket_ids = np.full((nlist, cap), -1, np.int32)
+        fill = np.zeros(nlist, np.int64)
+        spill_rows, spill_ids = [], []
+        for row, c in enumerate(assign):
+            if fill[c] < cap:
+                buckets[c, fill[c]] = emb[row]
+                bucket_ids[c, fill[c]] = row
+                fill[c] += 1
+            else:
+                spill_rows.append(emb[row])
+                spill_ids.append(row)
+        spill = (
+            np.stack(spill_rows) if spill_rows else np.zeros((0, d), np.float32)
+        )
+        return cls(
+            centroids=jnp.asarray(cent),
+            buckets=jnp.asarray(buckets),
+            bucket_ids=jnp.asarray(bucket_ids),
+            spill=jnp.asarray(spill),
+            spill_ids=jnp.asarray(np.asarray(spill_ids, np.int32)),
+            n=n, nlist=nlist,
+        )
+
+    def search(
+        self, query: np.ndarray, k: int, nprobe: int = 0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Approximate top-k; FAISS-shaped (scores, indices) result."""
+        nprobe = min(nprobe or max(1, self.nlist // 16), self.nlist)
+        k = min(k, self.n)
+        if k == 0:
+            return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+        s, i = _ivf_search(
+            self.centroids, self.buckets, self.bucket_ids,
+            self.spill, self.spill_ids,
+            jnp.asarray(query, jnp.float32), k, nprobe,
+        )
+        return np.asarray(s), np.asarray(i)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_search(centroids, buckets, bucket_ids, spill, spill_ids,
+                query, k: int, nprobe: int):
+    cscores = centroids @ query  # (nlist,)
+    _, probe = jax.lax.top_k(cscores, nprobe)
+    sub = buckets[probe]  # (nprobe, cap, d)
+    sub_ids = bucket_ids[probe]  # (nprobe, cap)
+    scores = jnp.einsum(
+        "pcd,d->pc", sub, query, preferred_element_type=jnp.float32
+    ).reshape(-1)
+    flat_ids = sub_ids.reshape(-1)
+    scores = jnp.where(flat_ids >= 0, scores, NEG_INF)
+    if spill.shape[0]:
+        sp_scores = spill @ query
+        scores = jnp.concatenate([scores, sp_scores])
+        flat_ids = jnp.concatenate([flat_ids, spill_ids])
+    kk = min(k, scores.shape[0])
+    top_s, top_pos = blocked_top_k(scores, kk)
+    return top_s, flat_ids[top_pos]

@@ -1,0 +1,85 @@
+"""IVF approximate index: recall vs exact, spill safety, FAISS-shaped
+contract (BASELINE config 5)."""
+
+import numpy as np
+import pytest
+
+from evossearch_tpu.index import exact_search
+from evossearch_tpu.index.ivf import IVFIndex
+
+
+def _clustered_corpus(n=20_000, d=64, n_clusters=100, seed=0):
+    """Synthetic photo-library-like corpus: clustered on the sphere."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, n)
+    emb = centers[assign] + 0.15 * rng.standard_normal((n, d))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    return emb.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _clustered_corpus()
+
+
+@pytest.fixture(scope="module")
+def ivf(corpus):
+    return IVFIndex.build(corpus, nlist=128, iters=8)
+
+
+def test_recall_at_48(corpus, ivf):
+    rng = np.random.default_rng(1)
+    recalls = []
+    for qi in range(20):
+        base = corpus[rng.integers(len(corpus))]
+        q = base + 0.1 * rng.standard_normal(corpus.shape[1]).astype(np.float32)
+        q /= np.linalg.norm(q)
+        _, exact_idx = exact_search(corpus, q, 48)
+        _, approx_idx = ivf.search(q, 48, nprobe=32)
+        recalls.append(len(set(exact_idx.tolist()) & set(approx_idx.tolist())) / 48)
+    mean_recall = float(np.mean(recalls))
+    assert mean_recall >= 0.99, mean_recall
+
+
+def test_full_probe_equals_exact(corpus, ivf):
+    """nprobe == nlist must reproduce the exact result set."""
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal(corpus.shape[1]).astype(np.float32)
+    q /= np.linalg.norm(q)
+    es, ei = exact_search(corpus, q, 20)
+    as_, ai = ivf.search(q, 20, nprobe=ivf.nlist)
+    assert set(ei.tolist()) == set(ai.tolist())
+    np.testing.assert_allclose(np.sort(as_), np.sort(es), atol=1e-5)
+
+
+def test_spill_rows_always_found():
+    """With bucket_factor < 1 most rows spill; recall must still be exact
+    for spilled vectors (they are scanned exactly)."""
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((500, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ivf = IVFIndex.build(emb, nlist=4, bucket_factor=0.1, iters=3)
+    assert ivf.spill.shape[0] > 0
+    q = emb[250]
+    _, idx = ivf.search(q, 1, nprobe=1)
+    assert int(idx[0]) == 250  # top-1 self-hit regardless of bucket placement
+
+
+def test_scores_descending_and_valid_ids(corpus, ivf):
+    rng = np.random.default_rng(4)
+    q = rng.standard_normal(corpus.shape[1]).astype(np.float32)
+    s, i = ivf.search(q, 48, nprobe=8)
+    assert len(s) == 48
+    assert (np.diff(s) <= 1e-6).all()
+    assert ((i >= 0) & (i < len(corpus))).all()
+    assert len(set(i.tolist())) == 48  # no duplicates
+
+
+def test_tiny_corpus():
+    emb = np.eye(8, dtype=np.float32)[:5]
+    ivf = IVFIndex.build(emb, nlist=2, iters=2)
+    s, i = ivf.search(emb[3], 5, nprobe=2)
+    assert int(i[0]) == 3
+    assert len(s) == 5
