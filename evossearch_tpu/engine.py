@@ -168,6 +168,8 @@ class SearchEngine:
                 extensions=self.cfg.SUPPORTED_EXTENSIONS,
                 index_folder_name=self.cfg.INDEX_FOLDER_NAME,
                 resume=resume,
+                fast_decode=self.cfg.FAST_DECODE,
+                decode_short_side=2 * self.spec.image_size,
             )
         with self._cache_lock:
             self._index_cache.pop(str(Path(folder)), None)

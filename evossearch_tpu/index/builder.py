@@ -48,15 +48,18 @@ def build_index(
     index_folder_name: str = ".clip_index",
     resume: bool = False,
     rows_per_shard: int | None = None,
+    fast_decode: bool = True,
+    decode_short_side: int = 448,
 ) -> int:
     """Index every image in ``folder``; returns number of rows written.
 
-    ``encode_batch``: list of PIL images -> (B, dim) float32 embeddings
-    (the engine provides preprocess+encode fused on device).
-    Returns 0 and writes nothing when the folder has no readable images
-    (reference returns None -> HTTP 400, oldapp.py:82-83/1964).
+    ``encode_batch``: list of PIL images / uint8 RGB arrays -> (B, dim)
+    float32 embeddings (the engine provides preprocess+encode fused on
+    device). Returns 0 and writes nothing when the folder has no readable
+    images (reference returns None -> HTTP 400, oldapp.py:82-83/1964).
+    ``fast_decode`` enables the native DCT-scaled JPEG decoder.
     """
-    from PIL import Image
+    from ..preprocess.io import load_image_rgb
 
     paths = scan_folder(folder, extensions)
     done: set[str] = set()
@@ -95,10 +98,11 @@ def build_index(
         if spath in done:
             continue
         try:
-            img = Image.open(img_path)
-            img.load()  # force decode now so failures are caught per-image
-            if img.mode != "RGB":
-                img = img.convert("RGB")
+            img = load_image_rgb(
+                img_path,
+                min_short_side=decode_short_side if fast_decode else 0,
+                fast=fast_decode,
+            )
             stat = img_path.stat()
         except Exception as e:  # skip-and-continue (oldapp.py:79-80)
             log.warning("Error processing %s: %s", img_path, e)

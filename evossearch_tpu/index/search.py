@@ -82,6 +82,28 @@ def _topk_batch(emb: jax.Array, queries: jax.Array, k: int):
     return jax.vmap(lambda s: blocked_top_k(s, k))(scores)
 
 
+def exact_search_host(emb: np.ndarray, query: np.ndarray, k: int):
+    """Exact top-k on the HOST via the native C++ scanner (threaded, zero-
+    copy over np.memmap shards). Fallback engine when no accelerator is
+    present and the verification oracle for the device paths; same tie
+    contract. Falls back to numpy when the extension isn't built."""
+    from ..preprocess.io import get_native
+
+    emb = np.ascontiguousarray(emb, dtype=np.float32)
+    query = np.ascontiguousarray(query, dtype=np.float32)
+    n, d = emb.shape
+    k = min(k, n)
+    if k == 0:
+        return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+    native = get_native()
+    if native is not None:
+        scores, idx = native.topk(emb.data, n, d, query.data, k)
+        return np.asarray(scores, np.float32), np.asarray(idx, np.int64)
+    scores = emb @ query
+    order = np.lexsort((np.arange(n), -scores))[:k]
+    return scores[order].astype(np.float32), order.astype(np.int64)
+
+
 def exact_search_batch(emb, queries: np.ndarray, k: int):
     """Batched exact top-k: queries (Q, d) -> (scores (Q,k), indices (Q,k))."""
     n = emb.shape[0]

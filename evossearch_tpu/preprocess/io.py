@@ -1,0 +1,81 @@
+"""Image loading for the indexing pipeline.
+
+JPEGs (the dominant format in photo folders) go through the first-party
+C++ libjpeg decoder (native/evossearch_native.cpp) when built: DCT-scaled
+decode at the cheapest 1/8..8/8 scale whose short side still covers
+``min_short_side``, which makes decoding large photos up to ~8x cheaper —
+this is the input-pipeline bottleneck for the >=1k images/sec target
+(SURVEY.md §7 hard part 3). Everything else (PNG/BMP/WEBP, odd JPEGs, or
+when the extension isn't built) falls back to PIL, the reference's decoder
+(oldapp.py:32).
+
+The native extension is built on demand (one g++ invocation, cached as
+evossearch_tpu/_native.so); failures degrade silently to PIL.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_native = None
+_native_checked = False
+
+
+def get_native():
+    """The _native extension module, building it on first use; None if
+    unavailable (no compiler / no libjpeg headers)."""
+    global _native, _native_checked
+    if _native_checked:
+        return _native
+    _native_checked = True
+    try:
+        from evossearch_tpu import _native as mod
+
+        _native = mod
+        return _native
+    except ImportError:
+        pass
+    build = Path(__file__).resolve().parents[2] / "native" / "build.sh"
+    if build.exists() and os.environ.get("EVOSSEARCH_NO_NATIVE_BUILD") != "1":
+        try:
+            subprocess.run(
+                ["sh", str(build)], capture_output=True, timeout=120, check=True
+            )
+            from evossearch_tpu import _native as mod
+
+            _native = mod
+        except Exception:
+            _native = None
+    return _native
+
+
+def load_image_rgb(
+    path: str | os.PathLike, min_short_side: int = 0, fast: bool = True
+) -> np.ndarray:
+    """Decode to an (H, W, 3) uint8 RGB array.
+
+    ``min_short_side`` > 0 allows DCT-scaled JPEG decode (native path only);
+    0 forces full-resolution decode everywhere (bit-parity with PIL).
+    Raises on undecodable files — the builder's per-image error-skip
+    handles that (reference semantics, oldapp.py:79-80).
+    """
+    path = Path(path)
+    if fast and path.suffix.lower() in (".jpg", ".jpeg"):
+        native = get_native()
+        if native is not None:
+            try:
+                h, w, rgb = native.decode_jpeg(path.read_bytes(), min_short_side)
+                return np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+            except ValueError:
+                pass  # odd JPEG -> PIL fallback
+    from PIL import Image
+
+    img = Image.open(path)
+    img.load()
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img, dtype=np.uint8)

@@ -73,10 +73,13 @@ def _host_shrink(arr: np.ndarray, max_side: int, target: int) -> np.ndarray:
 def prepare_host(
     image, target: int = 224, max_side: int = DEFAULT_MAX_SIDE
 ) -> HostPrepared:
-    """PIL image (any mode/size) -> HostPrepared for the device kernel."""
-    if image.mode != "RGB":
-        image = image.convert("RGB")
-    arr = np.asarray(image, dtype=np.uint8)
+    """PIL image (any mode/size) or (H, W, 3) uint8 array -> HostPrepared."""
+    if isinstance(image, np.ndarray):
+        arr = image
+    else:
+        if image.mode != "RGB":
+            image = image.convert("RGB")
+        arr = np.asarray(image, dtype=np.uint8)
     if arr.shape[0] > max_side or arr.shape[1] > max_side:
         arr = _host_shrink(arr, max_side, target)
     h, w = arr.shape[:2]

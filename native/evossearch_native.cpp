@@ -1,0 +1,333 @@
+// evossearch_tpu native runtime components (C++17, CPython C API).
+//
+// The reference's only native code lives in its dependencies (FAISS C++ for
+// the scan, PIL's C core for JPEG decode — SURVEY.md §2 "native-code
+// components"). Here both capabilities are first-party:
+//
+//   topk(emb_buffer, n, d, query, k)       exact inner-product top-k over a
+//                                          float32 row-major matrix (zero-
+//                                          copy over np.memmap), threaded,
+//                                          (score desc, index asc) ties —
+//                                          host fallback engine + store
+//                                          verification oracle
+//   decode_jpeg(bytes, min_short_side)     libjpeg decode with DCT scaling
+//                                          (decodes at 1/8..8/8 scale, the
+//                                          cheapest scale whose short side
+//                                          still covers the target) -> RGB8
+//   decode_jpeg_batch([...], min, threads) threaded batch decode, GIL
+//                                          released
+//
+// Build: native/build.sh (g++ -O3 -march=native, links libjpeg).
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+
+namespace {
+
+// ---------------------------------------------------------------- top-k
+
+struct Hit {
+  float score;
+  int64_t idx;
+};
+
+// "a ranks better than b": higher score, then lower index.
+inline bool better(const Hit& a, const Hit& b) {
+  return a.score > b.score || (a.score == b.score && a.idx < b.idx);
+}
+
+// Binary min-heap on "better" (worst element at the root) of fixed capacity.
+class TopK {
+ public:
+  explicit TopK(size_t k) : k_(k) { heap_.reserve(k); }
+
+  inline void push(float score, int64_t idx) {
+    Hit h{score, idx};
+    if (heap_.size() < k_) {
+      heap_.push_back(h);
+      std::push_heap(heap_.begin(), heap_.end(), better);
+    } else if (better(h, heap_.front())) {
+      std::pop_heap(heap_.begin(), heap_.end(), better);
+      heap_.back() = h;
+      std::push_heap(heap_.begin(), heap_.end(), better);
+    }
+  }
+
+  inline float worst() const {
+    return heap_.size() < k_ ? -INFINITY : heap_.front().score;
+  }
+
+  std::vector<Hit> sorted() {
+    std::vector<Hit> out = heap_;
+    std::sort(out.begin(), out.end(), better);
+    return out;
+  }
+
+ private:
+  size_t k_;
+  std::vector<Hit> heap_;
+};
+
+void scan_range(const float* emb, int64_t d, int64_t begin, int64_t end,
+                const float* query, TopK* top) {
+  for (int64_t row = begin; row < end; ++row) {
+    const float* v = emb + row * d;
+    float acc = 0.f;
+    // Plain loop: g++ -O3 auto-vectorizes this into FMA lanes.
+    for (int64_t j = 0; j < d; ++j) acc += v[j] * query[j];
+    if (acc > top->worst()) top->push(acc, row);
+  }
+}
+
+PyObject* py_topk(PyObject*, PyObject* args) {
+  Py_buffer emb_buf, q_buf;
+  Py_ssize_t n, d;
+  int k;
+  if (!PyArg_ParseTuple(args, "y*nny*i", &emb_buf, &n, &d, &q_buf, &k)) {
+    return nullptr;
+  }
+  if ((Py_ssize_t)(n * d * sizeof(float)) > emb_buf.len ||
+      (Py_ssize_t)(d * sizeof(float)) > q_buf.len || k < 0) {
+    PyBuffer_Release(&emb_buf);
+    PyBuffer_Release(&q_buf);
+    PyErr_SetString(PyExc_ValueError, "buffer too small for given n/d/k");
+    return nullptr;
+  }
+  const float* emb = static_cast<const float*>(emb_buf.buf);
+  const float* query = static_cast<const float*>(q_buf.buf);
+  if (k > n) k = (int)n;
+
+  unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
+  nthreads = std::min<unsigned>(nthreads, 16);
+  if (n < 65536) nthreads = 1;
+
+  std::vector<TopK> parts;
+  parts.reserve(nthreads);
+  for (unsigned t = 0; t < nthreads; ++t) parts.emplace_back((size_t)k);
+
+  Py_BEGIN_ALLOW_THREADS;
+  if (nthreads == 1) {
+    scan_range(emb, d, 0, n, query, &parts[0]);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + nthreads - 1) / nthreads;
+    for (unsigned t = 0; t < nthreads; ++t) {
+      int64_t begin = (int64_t)t * chunk;
+      int64_t end = std::min<int64_t>(begin + chunk, n);
+      if (begin >= end) break;
+      threads.emplace_back(scan_range, emb, d, begin, end, query, &parts[t]);
+    }
+    for (auto& th : threads) th.join();
+  }
+  Py_END_ALLOW_THREADS;
+
+  TopK merged((size_t)k);
+  for (auto& p : parts) {
+    for (const Hit& h : p.sorted()) merged.push(h.score, h.idx);
+  }
+  std::vector<Hit> hits = merged.sorted();
+
+  PyBuffer_Release(&emb_buf);
+  PyBuffer_Release(&q_buf);
+
+  PyObject* scores = PyList_New((Py_ssize_t)hits.size());
+  PyObject* indices = PyList_New((Py_ssize_t)hits.size());
+  for (size_t i = 0; i < hits.size(); ++i) {
+    PyList_SET_ITEM(scores, i, PyFloat_FromDouble(hits[i].score));
+    PyList_SET_ITEM(indices, i, PyLong_FromLongLong(hits[i].idx));
+  }
+  PyObject* out = PyTuple_Pack(2, scores, indices);
+  Py_DECREF(scores);
+  Py_DECREF(indices);
+  return out;
+}
+
+// ---------------------------------------------------------------- jpeg
+
+struct JpegError {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+  char msg[JMSG_LENGTH_MAX];
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegError*>(cinfo->err);
+  (*cinfo->err->format_message)(cinfo, err->msg);
+  longjmp(err->jump, 1);
+}
+
+struct DecodedImage {
+  std::vector<uint8_t> rgb;
+  int height = 0;
+  int width = 0;
+  bool ok = false;
+  char msg[JMSG_LENGTH_MAX] = {0};
+};
+
+DecodedImage decode_one(const uint8_t* data, size_t len, int min_short_side) {
+  DecodedImage out;
+  jpeg_decompress_struct cinfo;
+  JpegError err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(err.jump)) {
+    std::snprintf(out.msg, sizeof(out.msg), "%s", err.msg);
+    jpeg_destroy_decompress(&cinfo);
+    return out;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+
+  // DCT scaling: pick the smallest num/8 scale whose short side still
+  // reaches min_short_side (0 = always full size). This is the decode-side
+  // half of the preprocess resize — an 8x cheaper decode for big photos.
+  if (min_short_side > 0) {
+    unsigned short_side = std::min(cinfo.image_width, cinfo.image_height);
+    unsigned num = 8;
+    for (unsigned cand = 1; cand <= 8; ++cand) {
+      if (short_side * cand / 8 >= (unsigned)min_short_side) {
+        num = cand;
+        break;
+      }
+    }
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  out.width = (int)cinfo.output_width;
+  out.height = (int)cinfo.output_height;
+  size_t stride = (size_t)out.width * cinfo.output_components;
+  out.rgb.resize((size_t)out.height * stride);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rowptr = out.rgb.data() + (size_t)cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &rowptr, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  out.ok = true;
+  return out;
+}
+
+PyObject* decoded_to_py(const DecodedImage& img) {
+  if (!img.ok) {
+    PyErr_Format(PyExc_ValueError, "JPEG decode failed: %s", img.msg);
+    return nullptr;
+  }
+  PyObject* bytes = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(img.rgb.data()),
+      (Py_ssize_t)img.rgb.size());
+  if (!bytes) return nullptr;
+  PyObject* out = Py_BuildValue("iiN", img.height, img.width, bytes);
+  return out;
+}
+
+PyObject* py_decode_jpeg(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  int min_short_side = 0;
+  if (!PyArg_ParseTuple(args, "y*|i", &buf, &min_short_side)) return nullptr;
+  DecodedImage img;
+  Py_BEGIN_ALLOW_THREADS;
+  img = decode_one(static_cast<const uint8_t*>(buf.buf), (size_t)buf.len,
+                   min_short_side);
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&buf);
+  return decoded_to_py(img);
+}
+
+PyObject* py_decode_jpeg_batch(PyObject*, PyObject* args) {
+  PyObject* list;
+  int min_short_side = 0;
+  int nthreads = 0;
+  if (!PyArg_ParseTuple(args, "O|ii", &list, &min_short_side, &nthreads)) {
+    return nullptr;
+  }
+  if (!PyList_Check(list)) {
+    PyErr_SetString(PyExc_TypeError, "expected a list of bytes");
+    return nullptr;
+  }
+  Py_ssize_t count = PyList_GET_SIZE(list);
+  std::vector<std::pair<const uint8_t*, size_t>> inputs((size_t)count);
+  for (Py_ssize_t i = 0; i < count; ++i) {
+    PyObject* item = PyList_GET_ITEM(list, i);
+    char* data;
+    Py_ssize_t len;
+    if (PyBytes_AsStringAndSize(item, &data, &len) != 0) return nullptr;
+    inputs[(size_t)i] = {reinterpret_cast<const uint8_t*>(data), (size_t)len};
+  }
+  if (nthreads <= 0) {
+    nthreads = (int)std::max(1u, std::thread::hardware_concurrency());
+  }
+  nthreads = std::min<int>(nthreads, 16);
+
+  std::vector<DecodedImage> results((size_t)count);
+  Py_BEGIN_ALLOW_THREADS;
+  std::atomic<Py_ssize_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      Py_ssize_t i = next.fetch_add(1);
+      if (i >= count) break;
+      results[(size_t)i] = decode_one(inputs[(size_t)i].first,
+                                      inputs[(size_t)i].second,
+                                      min_short_side);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  Py_END_ALLOW_THREADS;
+
+  PyObject* out = PyList_New(count);
+  if (!out) return nullptr;
+  for (Py_ssize_t i = 0; i < count; ++i) {
+    const DecodedImage& img = results[(size_t)i];
+    PyObject* item;
+    if (img.ok) {
+      item = decoded_to_py(img);
+      if (!item) {
+        Py_DECREF(out);
+        return nullptr;
+      }
+    } else {
+      // per-image failure -> None (caller skips, reference oldapp.py:79-80)
+      item = Py_None;
+      Py_INCREF(item);
+    }
+    PyList_SET_ITEM(out, i, item);
+  }
+  return out;
+}
+
+PyMethodDef methods[] = {
+    {"topk", py_topk, METH_VARARGS,
+     "topk(emb_buffer, n, d, query_buffer, k) -> (scores, indices)"},
+    {"decode_jpeg", py_decode_jpeg, METH_VARARGS,
+     "decode_jpeg(data, min_short_side=0) -> (h, w, rgb_bytes)"},
+    {"decode_jpeg_batch", py_decode_jpeg_batch, METH_VARARGS,
+     "decode_jpeg_batch(list_of_bytes, min_short_side=0, threads=0) -> "
+     "list[(h, w, rgb_bytes) | None]"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_native",
+    "evossearch_tpu native runtime (exact scan + JPEG decode)", -1, methods,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__native(void) { return PyModule_Create(&moduledef); }
