@@ -111,6 +111,18 @@ class Config:
         # Native DCT-scaled JPEG decode for indexing (up to ~8x cheaper
         # decode of large photos); disable for bit-parity with PIL decode.
         self.FAST_DECODE = _env_bool("EVOSSEARCH_FAST_DECODE", "True")
+        # Exact-search kernel: auto | xla | pallas | host | sharded.
+        #   auto    = xla single-device; sharded when >1 device visible
+        #   xla     = blocked matvec+top_k (device)
+        #   pallas  = fused streaming top-k kernel (device)
+        #   host    = native C++ threaded scan over the mmap store
+        #   sharded = corpus-sharded mesh search with ICI merge
+        self.SEARCH_KERNEL = os.getenv("EVOSSEARCH_SEARCH_KERNEL", "auto")
+        # Index kind: exact (default) or ivf (approximate, >=99% recall@48).
+        self.INDEX_KIND = os.getenv("EVOSSEARCH_INDEX_KIND", "exact")
+        # IVF probes per query (0 = nlist/16); IVF list count (0 = sqrt(N)).
+        self.IVF_NPROBE = _env_int("EVOSSEARCH_IVF_NPROBE", "0")
+        self.IVF_NLIST = _env_int("EVOSSEARCH_IVF_NLIST", "0")
         # Path to BPE vocab file (OpenAI bpe_simple_vocab_16e6.txt.gz or HF
         # vocab.json+merges.txt directory); empty = bundled/auto-discovered.
         self.BPE_VOCAB_PATH = os.getenv("EVOSSEARCH_BPE_VOCAB", "")

@@ -178,10 +178,14 @@ class SearchEngine:
     def open_index(self, folder: str) -> IndexReader | None:
         return IndexReader.open(folder, self.cfg.INDEX_FOLDER_NAME)
 
-    def _device_index(self, folder: str):
-        """(device embedding matrix, reader) with mtime-keyed caching."""
-        import jax.numpy as jnp
+    def _cached_index(self, folder: str):
+        """Per-folder search-state cache, invalidated by manifest mtime.
 
+        The cache entry lazily materializes whichever representation the
+        configured kernel needs: device matrix (xla/pallas), ShardedIndex
+        (mesh), IVFIndex (approximate), or nothing (host scan reads the
+        mmap directly).
+        """
         key = str(Path(folder))
         reader = self.open_index(folder)
         if reader is None:
@@ -189,24 +193,78 @@ class SearchEngine:
         mtime = reader.mtime()
         with self._cache_lock:
             cached = self._index_cache.get(key)
-            if cached is not None and cached[0] == mtime:
-                return cached[1], cached[2]
-        emb = jnp.asarray(np.asarray(reader.embeddings()))
-        with self._cache_lock:
-            self._index_cache[key] = (mtime, emb, reader)
-        return emb, reader
+            if cached is not None and cached["mtime"] == mtime:
+                return cached, cached["reader"]
+            entry = {"mtime": mtime, "reader": reader}
+            self._index_cache[key] = entry
+        return entry, reader
+
+    def _resolve_kernel(self) -> str:
+        kind = self.cfg.SEARCH_KERNEL
+        if kind != "auto":
+            return kind
+        import jax
+
+        return "sharded" if len(jax.devices()) > 1 else "xla"
 
     def search_embedding(self, folder: str, query: np.ndarray, k: int):
         """Top-k over a folder's index. Returns (scores, indices, reader)
         or None when the folder isn't indexed."""
-        emb, reader = self._device_index(folder)
+        import jax.numpy as jnp
+
+        entry, reader = self._cached_index(folder)
         if reader is None:
             return None
         k = min(k, reader.count)
         if k == 0:
             return np.zeros((0,), np.float32), np.zeros((0,), np.int64), reader
+        query = query.astype(np.float32)
         with self.timers.stage("search"):
-            scores, idx = exact_search(emb, query.astype(np.float32), k)
+            if self.cfg.INDEX_KIND == "ivf":
+                if "ivf" not in entry:
+                    from .index.ivf import IVFIndex
+
+                    entry["ivf"] = IVFIndex.build(
+                        np.asarray(reader.embeddings(), np.float32),
+                        nlist=self.cfg.IVF_NLIST,
+                    )
+                scores, idx = entry["ivf"].search(
+                    query, k, nprobe=self.cfg.IVF_NPROBE
+                )
+            else:
+                kernel = self._resolve_kernel()
+                if kernel == "host":
+                    from .index.search import exact_search_host
+
+                    scores, idx = exact_search_host(
+                        np.asarray(reader.embeddings()), query, k
+                    )
+                elif kernel == "sharded":
+                    if "sharded" not in entry:
+                        from .parallel import ShardedIndex
+
+                        entry["sharded"] = ShardedIndex.from_matrix(
+                            np.asarray(reader.embeddings()),
+                            n_devices=self.cfg.MESH_DEVICES,
+                        )
+                    scores, idx = entry["sharded"].search(query, k)
+                else:
+                    if "emb" not in entry:
+                        entry["emb"] = jnp.asarray(
+                            np.asarray(reader.embeddings())
+                        )
+                    if kernel == "pallas":
+                        import jax
+
+                        from .ops import fused_topk
+
+                        s, i = fused_topk(
+                            entry["emb"], jnp.asarray(query), k,
+                            interpret=jax.default_backend() == "cpu",
+                        )
+                        scores, idx = np.asarray(s), np.asarray(i)
+                    else:  # xla
+                        scores, idx = exact_search(entry["emb"], query, k)
         self.counters.add("queries")
         return scores, idx, reader
 

@@ -106,8 +106,16 @@ class IVFIndex:
     def search(
         self, query: np.ndarray, k: int, nprobe: int = 0
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Approximate top-k; FAISS-shaped (scores, indices) result."""
-        nprobe = min(nprobe or max(1, self.nlist // 16), self.nlist)
+        """Approximate top-k; FAISS-shaped (scores, indices) result.
+
+        Auto nprobe covers >=2k candidate rows and at least a quarter of
+        the lists, so small corpora degrade toward exact search instead of
+        returning short results.
+        """
+        cap = self.buckets.shape[1]
+        if not nprobe:
+            nprobe = max(1, self.nlist // 4, -(-2 * k // max(cap, 1)))
+        nprobe = min(nprobe, self.nlist)
         k = min(k, self.n)
         if k == 0:
             return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
@@ -116,7 +124,9 @@ class IVFIndex:
             self.spill, self.spill_ids,
             jnp.asarray(query, jnp.float32), k, nprobe,
         )
-        return np.asarray(s), np.asarray(i)
+        s, i = np.asarray(s), np.asarray(i)
+        valid = i >= 0  # drop bucket padding when probes cover < k rows
+        return s[valid], i[valid]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))

@@ -1,0 +1,57 @@
+"""Save/load of our own param pytrees (.npz).
+
+The reference's only weights artifact is the downloaded OpenAI .pt
+(oldapp.py:28); here fine-tuned or converted weights persist in a simple
+flat-key npz with a JSON-encoded spec, so a server can boot from either an
+OpenAI/HF checkpoint (models/convert.py) or a native one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..core.constants import CLIPModelSpec
+
+
+def _flatten(tree: dict, prefix: str = "") -> dict[str, np.ndarray]:
+    flat = {}
+    for key, value in tree.items():
+        name = f"{prefix}/{key}" if prefix else key
+        if isinstance(value, dict):
+            flat.update(_flatten(value, name))
+        else:
+            flat[name] = np.asarray(value)
+    return flat
+
+
+def _unflatten(flat: dict) -> dict:
+    tree: dict = {}
+    for name, value in flat.items():
+        parts = name.split("/")
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_params(path: str | Path, params: dict, spec: CLIPModelSpec) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat = _flatten(params)
+    flat["__spec__"] = np.frombuffer(
+        json.dumps(dataclasses.asdict(spec)).encode(), dtype=np.uint8
+    )
+    np.savez(path, **flat)
+
+
+def load_params(path: str | Path) -> tuple[dict, CLIPModelSpec]:
+    with np.load(Path(path), allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    spec_raw = bytes(flat.pop("__spec__")).decode()
+    spec = CLIPModelSpec(**json.loads(spec_raw))
+    return _unflatten(flat), spec
