@@ -71,10 +71,13 @@ def _make_kernel(n: int, block_rows: int, k: int):
         q = q * jax.lax.rsqrt(jnp.sum(q * q) + 1e-30)
 
         # (1, T) tile scores on the MXU: contract d of (1,d) x (T,d).
+        # HIGHEST = full-f32 (3-pass bf16) accumulation, matching the XLA
+        # matvec path's precision so all exact kernels rank identically.
         scores = jax.lax.dot_general(
             q, e_ref[:].astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         base = i * block_rows
         col = jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
