@@ -118,6 +118,10 @@ class Config:
         #   host    = native C++ threaded scan over the mmap store
         #   sharded = corpus-sharded mesh search with ICI merge
         self.SEARCH_KERNEL = os.getenv("EVOSSEARCH_SEARCH_KERNEL", "auto")
+        # Micro-batching window for concurrent searches (ms; 0 disables).
+        # Concurrent same-folder queries within the window share one device
+        # dispatch (~20x amortization measured on this rig, bench.py).
+        self.MICROBATCH_MS = float(os.getenv("EVOSSEARCH_MICROBATCH_MS", "2.0"))
         # Index kind: exact (default) or ivf (approximate, >=99% recall@48).
         self.INDEX_KIND = os.getenv("EVOSSEARCH_INDEX_KIND", "exact")
         # IVF probes per query (0 = nlist/16); IVF list count (0 = sqrt(N)).

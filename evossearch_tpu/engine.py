@@ -207,6 +207,31 @@ class SearchEngine:
 
         return "sharded" if len(jax.devices()) > 1 else "xla"
 
+    # -- micro-batched serving path --
+
+    @functools.cached_property
+    def _batcher(self):
+        if self.cfg.MICROBATCH_MS <= 0:
+            return None
+        from .serving import MicroBatcher
+
+        return MicroBatcher(
+            self._execute_search_batch, window_ms=self.cfg.MICROBATCH_MS
+        )
+
+    def _execute_search_batch(self, folder: str, queries: np.ndarray, k: int):
+        """One batched device dispatch over a folder's cached matrix."""
+        import jax.numpy as jnp
+
+        from .index.search import exact_search_batch
+
+        entry, reader = self._cached_index(folder)
+        if reader is None:
+            raise LookupError("Folder not indexed")
+        if "emb" not in entry:
+            entry["emb"] = jnp.asarray(np.asarray(reader.embeddings()))
+        return exact_search_batch(entry["emb"], queries, min(k, reader.count))
+
     def search_embedding(self, folder: str, query: np.ndarray, k: int):
         """Top-k over a folder's index. Returns (scores, indices, reader)
         or None when the folder isn't indexed."""
@@ -233,7 +258,11 @@ class SearchEngine:
                 )
             else:
                 kernel = self._resolve_kernel()
-                if kernel == "host":
+                if kernel == "xla" and self._batcher is not None:
+                    scores, idx = self._batcher.submit(
+                        str(Path(folder)), query, k
+                    )
+                elif kernel == "host":
                     from .index.search import exact_search_host
 
                     scores, idx = exact_search_host(

@@ -1,0 +1,112 @@
+"""Query micro-batching for the serving path.
+
+The reference serves one query per request with no concurrency story
+(single-threaded Flask dev server, oldapp.py:2258). Our HTTP server is
+threaded, and on TPU a batch of Q queries against the same corpus costs
+barely more than one (one device dispatch, one HBM sweep of the matrix —
+bench.py measures ~20x amortization on this rig). The MicroBatcher
+collects concurrent same-folder searches for a few milliseconds and
+executes them as one batched top-k dispatch.
+
+Single queries pay at most ``window_ms`` extra latency; bursts win the
+full amortization. Searches against different folders are grouped per
+folder, preserving result equivalence with the unbatched path (tested).
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .utils import get_logger
+
+log = get_logger("serving")
+
+
+@dataclass
+class _Pending:
+    folder: str
+    query: np.ndarray
+    k: int
+    future: Future = field(default_factory=Future)
+
+
+class MicroBatcher:
+    """Groups concurrent same-folder searches into one device dispatch.
+
+    ``execute_batch(folder, queries (Q, d), k)`` -> (scores (Q, k),
+    indices (Q, k)) is supplied by the engine; this class only does the
+    queueing/grouping.
+    """
+
+    def __init__(
+        self, execute_batch, window_ms: float = 2.0, max_batch: int = 64
+    ):
+        self._execute_batch = execute_batch
+        self._window_s = window_ms / 1e3
+        self._max_batch = max_batch
+        self._lock = threading.Lock()
+        self._queue: list[_Pending] = []
+        self._wake = threading.Event()
+        self._stop = False
+        self.dispatches = 0  # observability: device dispatches issued
+        self.batched_queries = 0
+        self._thread = threading.Thread(
+            target=self._loop, name="query-microbatcher", daemon=True
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=2)
+
+    def submit(self, folder: str, query: np.ndarray, k: int):
+        """Blocking search; returns (scores (k',), indices (k',))."""
+        item = _Pending(folder=folder, query=np.asarray(query, np.float32), k=k)
+        with self._lock:
+            self._queue.append(item)
+        self._wake.set()
+        return item.future.result()
+
+    # -- worker --
+
+    def _loop(self) -> None:
+        while not self._stop:
+            self._wake.wait()
+            if self._stop:
+                return
+            self._wake.clear()
+            # batching window: let concurrent requests pile up
+            threading.Event().wait(self._window_s)
+            while True:
+                with self._lock:
+                    if not self._queue:
+                        break
+                    folder = self._queue[0].folder
+                    batch = [p for p in self._queue if p.folder == folder][
+                        : self._max_batch
+                    ]
+                    for p in batch:
+                        self._queue.remove(p)
+                self._run(folder, batch)
+
+    def _run(self, folder: str, batch: list[_Pending]) -> None:
+        try:
+            queries = np.stack([p.query for p in batch])
+            k = max(p.k for p in batch)
+            scores, indices = self._execute_batch(folder, queries, k)
+            self.dispatches += 1
+            self.batched_queries += len(batch)
+            for row, p in enumerate(batch):
+                p.future.set_result(
+                    (scores[row, : p.k].copy(), indices[row, : p.k].copy())
+                )
+        except Exception as e:
+            log.warning("batched search failed: %s", e)
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(e)

@@ -1,0 +1,97 @@
+"""Micro-batched serving path: result equivalence with the unbatched
+kernel, actual grouping of concurrent requests, per-folder isolation."""
+
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from evossearch_tpu.core import Config
+from evossearch_tpu.core.constants import CLIPModelSpec
+from evossearch_tpu.engine import SearchEngine
+from evossearch_tpu.serving import MicroBatcher
+
+TINY = CLIPModelSpec(
+    name="tiny", image_size=64, patch_size=16, vision_width=64,
+    vision_layers=2, vision_heads=4, text_width=48, text_layers=2,
+    text_heads=4, vocab_size=49408, context_length=77, embed_dim=32,
+)
+
+
+def test_microbatcher_groups_and_matches_oracle():
+    rng = np.random.default_rng(0)
+    corpora = {
+        "/a": rng.standard_normal((200, 16)).astype(np.float32),
+        "/b": rng.standard_normal((150, 16)).astype(np.float32),
+    }
+    calls = []
+
+    def execute(folder, queries, k):
+        calls.append((folder, queries.shape[0]))
+        scores = queries @ corpora[folder].T
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(scores, order, axis=1), order
+
+    mb = MicroBatcher(execute, window_ms=30.0)
+    try:
+        queries = rng.standard_normal((12, 16)).astype(np.float32)
+        results = [None] * 12
+        threads = []
+        for i in range(12):
+            folder = "/a" if i % 3 else "/b"
+
+            def run(i=i, folder=folder):
+                results[i] = (folder, mb.submit(folder, queries[i], 5))
+
+            threads.append(threading.Thread(target=run))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # every result matches its own single-query oracle
+        for i, (folder, (scores, idx)) in enumerate(results):
+            exp_scores = queries[i] @ corpora[folder].T
+            exp_order = np.argsort(-exp_scores, kind="stable")[:5]
+            np.testing.assert_array_equal(idx, exp_order)
+        # and requests were actually grouped: far fewer dispatches than 12
+        assert len(calls) < 12
+        assert sum(n for _, n in calls) == 12
+        # groups never mix folders
+        assert all(f in ("/a", "/b") for f, _ in calls)
+    finally:
+        mb.close()
+
+
+def test_batcher_propagates_errors():
+    def execute(folder, queries, k):
+        raise LookupError("Folder not indexed")
+
+    mb = MicroBatcher(execute, window_ms=1.0)
+    try:
+        with pytest.raises(LookupError):
+            mb.submit("/nope", np.zeros(4, np.float32), 3)
+    finally:
+        mb.close()
+
+
+def test_engine_microbatched_equals_direct(tmp_path, monkeypatch):
+    rng = np.random.default_rng(1)
+    for i in range(8):
+        arr = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"i{i}.jpg", quality=90)
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    monkeypatch.setenv("EVOSSEARCH_SEARCH_KERNEL", "xla")
+
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", "0")  # direct
+    direct = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    assert direct.index_folder(str(tmp_path)) == 8
+    q = direct.encode_text("query")
+    s0, i0, _ = direct.search_embedding(str(tmp_path), q, 4)
+
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", "2.0")
+    batched = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    s1, i1, _ = batched.search_embedding(str(tmp_path), q, 4)
+    np.testing.assert_array_equal(i1, i0)
+    np.testing.assert_allclose(s1, s0, atol=1e-5)
+    assert batched._batcher.dispatches >= 1
