@@ -119,31 +119,82 @@ class SearchEngine:
 
         return fn
 
-    def encode_images(self, pil_images: list) -> np.ndarray:
-        """PIL images -> (B, embed_dim) L2-normalized float32 embeddings."""
-        from .preprocess import preprocess_batch
+    @functools.cached_property
+    def _jit_prep_encode(self):
+        """One fused XLA program: resample+crop+normalize+ViT encode.
 
-        n = len(pil_images)
+        The north-star 'fused preprocessing stage feeding the encoder':
+        canvases go to the device once; everything to the embedding happens
+        in a single compiled computation.
+        """
+        import jax
+
+        from .models import encode_image
+        from .preprocess import device_preprocess_indexed
+
+        spec, dtype = self.spec, self._compute_dtype
+
+        @jax.jit
+        def fn(params, canvases, a_h_u, a_w_u, size_idx):
+            x = device_preprocess_indexed(
+                canvases, a_h_u, a_w_u, size_idx, out_dtype=dtype
+            )
+            return encode_image(params, x, spec, compute_dtype=dtype)
+
+        return fn
+
+    def encode_prepared(
+        self, canvases: np.ndarray, a_h_u: np.ndarray, a_w_u: np.ndarray,
+        size_idx: np.ndarray,
+    ) -> np.ndarray:
+        """Host-prepared batch (canvases + unique-size resample matrices +
+        per-image size index) -> (B, embed_dim) embeddings via the fused
+        program; pads the batch to a bucket size."""
+        n = canvases.shape[0]
         if n == 0:
             return np.zeros((0, self.spec.embed_dim), np.float32)
-        with self.timers.stage("preprocess"):
-            batch = preprocess_batch(
-                pil_images, target=self.spec.image_size,
-                out_dtype=self._compute_dtype,
-            )
         b = _bucket(n, max(self.cfg.BATCH_SIZE, 1))
-        with self.timers.stage("encode_image"):
-            import jax.numpy as jnp
-
-            if n < b:
-                pad = jnp.zeros((b - n,) + batch.shape[1:], batch.dtype)
-                batch = jnp.concatenate([batch, pad], axis=0)
-            out = []
-            for start in range(0, batch.shape[0], b):
-                out.append(self._jit_encode_image(self.params, batch[start:start + b]))
-            emb = np.concatenate([np.asarray(o) for o in out], axis=0)[:n]
+        if n < b:
+            pad = b - n
+            canvases = np.concatenate(
+                [canvases, np.zeros((pad,) + canvases.shape[1:], canvases.dtype)]
+            )
+            size_idx = np.concatenate([size_idx, np.zeros(pad, size_idx.dtype)])
+        out = []
+        with self.timers.stage("prep_encode"):
+            for start in range(0, canvases.shape[0], b):
+                sl = slice(start, start + b)
+                out.append(
+                    np.asarray(
+                        self._jit_prep_encode(
+                            self.params, canvases[sl], a_h_u, a_w_u, size_idx[sl]
+                        )
+                    )
+                )
+        emb = np.concatenate(out, axis=0)[:n]
         self.counters.add("images_encoded", n)
         return emb
+
+    def encode_images(self, images: list) -> np.ndarray:
+        """PIL images / uint8 RGB arrays -> (B, embed_dim) L2-normalized
+        float32 embeddings via the fused preprocess+encode program."""
+        from .preprocess import prepare_batch
+
+        if len(images) == 0:
+            return np.zeros((0, self.spec.embed_dim), np.float32)
+        arrays = []
+        for img in images:
+            if isinstance(img, np.ndarray):
+                arrays.append(img)
+            else:
+                if img.mode != "RGB":
+                    img = img.convert("RGB")
+                arrays.append(np.asarray(img, dtype=np.uint8))
+        with self.timers.stage("preprocess"):
+            canvases, a_h_u, a_w_u, size_idx = prepare_batch(
+                arrays, target=self.spec.image_size
+            )
+        return self.encode_prepared(canvases, a_h_u, a_w_u, size_idx)
 
     def encode_text(self, text: str) -> np.ndarray:
         """Query text -> (embed_dim,) L2-normalized float32 embedding."""
@@ -160,7 +211,7 @@ class SearchEngine:
         with self.timers.stage("index_folder"):
             count = build_index(
                 folder,
-                encode_batch=self.encode_images,
+                pipeline_encoder=self,
                 model_name=self.spec.name,
                 dim=self.spec.embed_dim,
                 batch_size=self.cfg.BATCH_SIZE,

@@ -16,6 +16,7 @@ from typing import Callable, Iterable
 
 import numpy as np
 
+from ..preprocess.io import load_batch_rgb, load_image_rgb
 from ..utils import get_logger
 from .store import IndexWriter, load_progress
 
@@ -39,9 +40,9 @@ def scan_folder(
 
 def build_index(
     folder: str | os.PathLike,
-    encode_batch: Callable[[list], np.ndarray],
-    model_name: str,
-    dim: int,
+    encode_batch: Callable[[list], np.ndarray] | None = None,
+    model_name: str = "",
+    dim: int = 0,
     batch_size: int = 32,
     dtype_name: str = "float32",
     extensions: Iterable[str] = DEFAULT_EXTENSIONS,
@@ -50,6 +51,7 @@ def build_index(
     rows_per_shard: int | None = None,
     fast_decode: bool = True,
     decode_short_side: int = 448,
+    pipeline_encoder=None,
 ) -> int:
     """Index every image in ``folder``; returns number of rows written.
 
@@ -59,8 +61,6 @@ def build_index(
     images (reference returns None -> HTTP 400, oldapp.py:82-83/1964).
     ``fast_decode`` enables the native DCT-scaled JPEG decoder.
     """
-    from ..preprocess.io import load_image_rgb
-
     paths = scan_folder(folder, extensions)
     done: set[str] = set()
     writer = None
@@ -81,43 +81,122 @@ def build_index(
             index_folder_name=index_folder_name, **kwargs,
         )
 
-    pending_imgs: list = []
-    pending_paths: list[str] = []
-    pending_meta: list[dict] = []
-
-    def flush():
-        nonlocal pending_imgs, pending_paths, pending_meta
-        if not pending_imgs:
-            return
-        emb = np.asarray(encode_batch(pending_imgs), dtype=np.float32)
-        writer.append(emb, pending_paths, pending_meta)
-        pending_imgs, pending_paths, pending_meta = [], [], []
-
-    for img_path in paths:
-        spath = str(img_path)
-        if spath in done:
-            continue
-        try:
-            img = load_image_rgb(
-                img_path,
-                min_short_side=decode_short_side if fast_decode else 0,
-                fast=fast_decode,
-            )
-            stat = img_path.stat()
-        except Exception as e:  # skip-and-continue (oldapp.py:79-80)
-            log.warning("Error processing %s: %s", img_path, e)
-            continue
-        pending_imgs.append(img)
-        pending_paths.append(spath)
-        pending_meta.append(
-            {"path": spath, "mtime": stat.st_mtime, "size": stat.st_size}
+    if pipeline_encoder is not None:
+        _pipelined_build(
+            paths, done, writer, pipeline_encoder, batch_size,
+            fast_decode, decode_short_side,
         )
-        if len(pending_imgs) >= batch_size:
-            flush()
-    flush()
+    else:
+        pending_imgs: list = []
+        pending_paths: list[str] = []
+        pending_meta: list[dict] = []
+
+        def flush():
+            nonlocal pending_imgs, pending_paths, pending_meta
+            if not pending_imgs:
+                return
+            emb = np.asarray(encode_batch(pending_imgs), dtype=np.float32)
+            writer.append(emb, pending_paths, pending_meta)
+            pending_imgs, pending_paths, pending_meta = [], [], []
+
+        for img_path in paths:
+            spath = str(img_path)
+            if spath in done:
+                continue
+            try:
+                img = load_image_rgb(
+                    img_path,
+                    min_short_side=decode_short_side if fast_decode else 0,
+                    fast=fast_decode,
+                )
+                stat = img_path.stat()
+            except Exception as e:  # skip-and-continue (oldapp.py:79-80)
+                log.warning("Error processing %s: %s", img_path, e)
+                continue
+            pending_imgs.append(img)
+            pending_paths.append(spath)
+            pending_meta.append(
+                {"path": spath, "mtime": stat.st_mtime, "size": stat.st_size}
+            )
+            if len(pending_imgs) >= batch_size:
+                flush()
+        flush()
 
     if writer.count == 0:
         return 0
     writer.finalize()
     log.info("indexed %d images in %s", writer.count, folder)
     return writer.count
+
+
+def _pipelined_build(
+    paths, done, writer, encoder, batch_size, fast_decode, decode_short_side
+) -> None:
+    """Overlapped host/device indexing pipeline.
+
+    A producer thread decodes + host-prepares batches (PIL/native decode
+    release the GIL) while the device runs the fused preprocess+encode
+    program on the previous batch — double buffering via a bounded queue.
+    """
+    import queue
+    import threading
+
+    from ..preprocess import prepare_batch
+
+    target = encoder.spec.image_size
+    out: "queue.Queue" = queue.Queue(maxsize=3)
+
+    def producer():
+        batch, bpaths, bmeta = [], [], []
+
+        def emit():
+            nonlocal batch, bpaths, bmeta
+            if batch:
+                out.put((*prepare_batch(batch, target=target), bpaths, bmeta))
+                batch, bpaths, bmeta = [], [], []
+
+        try:
+            todo = [p for p in paths if str(p) not in done]
+            for start in range(0, len(todo), batch_size):
+                chunk = todo[start : start + batch_size]
+                # threaded native batch decode (GIL released per worker)
+                arrays = load_batch_rgb(
+                    chunk,
+                    min_short_side=decode_short_side if fast_decode else 0,
+                    fast=fast_decode,
+                )
+                for img_path, arr in zip(chunk, arrays):
+                    if arr is None:  # oldapp.py:79-80 semantics
+                        log.warning("Error processing %s: undecodable", img_path)
+                        continue
+                    try:
+                        stat = img_path.stat()
+                    except OSError as e:
+                        log.warning("Error processing %s: %s", img_path, e)
+                        continue
+                    spath = str(img_path)
+                    batch.append(arr)
+                    bpaths.append(spath)
+                    bmeta.append(
+                        {"path": spath, "mtime": stat.st_mtime,
+                         "size": stat.st_size}
+                    )
+                    if len(batch) >= batch_size:
+                        emit()
+            emit()
+            out.put(None)
+        except BaseException as e:  # surface producer crashes to the consumer
+            out.put(e)
+
+    thread = threading.Thread(target=producer, name="index-producer", daemon=True)
+    thread.start()
+    while True:
+        item = out.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        canvases, a_h_u, a_w_u, size_idx, bpaths, bmeta = item
+        emb = encoder.encode_prepared(canvases, a_h_u, a_w_u, size_idx)
+        writer.append(np.asarray(emb, np.float32), bpaths, bmeta)
+    thread.join()

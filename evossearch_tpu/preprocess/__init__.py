@@ -1,6 +1,8 @@
 from .pipeline import (
     DEFAULT_MAX_SIDE,
     device_preprocess,
+    device_preprocess_indexed,
+    prepare_batch,
     prepare_host,
     preprocess_batch,
     preprocess_reference,
@@ -10,6 +12,8 @@ from .resize import clip_resize_crop_matrices, resample_matrix, resized_dims
 __all__ = [
     "DEFAULT_MAX_SIDE",
     "device_preprocess",
+    "device_preprocess_indexed",
+    "prepare_batch",
     "prepare_host",
     "preprocess_batch",
     "preprocess_reference",

@@ -53,6 +53,48 @@ def get_native():
     return _native
 
 
+def load_batch_rgb(
+    paths: list, min_short_side: int = 0, fast: bool = True
+) -> list[np.ndarray | None]:
+    """Decode a batch of files; None entries mark per-image failures
+    (caller skips them — reference oldapp.py:79-80 semantics).
+
+    JPEGs go through the native threaded batch decoder (GIL released, one
+    worker per core); everything else through load_image_rgb.
+    """
+    native = get_native()
+    out: list[np.ndarray | None] = [None] * len(paths)
+    jpeg_positions = []
+    jpeg_bytes = []
+    for pos, path in enumerate(paths):
+        path = Path(path)
+        if fast and native is not None and path.suffix.lower() in (".jpg", ".jpeg"):
+            try:
+                jpeg_bytes.append(path.read_bytes())
+                jpeg_positions.append(pos)
+                continue
+            except OSError:
+                out[pos] = None
+                continue
+        try:
+            out[pos] = load_image_rgb(path, min_short_side, fast)
+        except Exception:
+            out[pos] = None
+    if jpeg_positions:
+        decoded = native.decode_jpeg_batch(jpeg_bytes, min_short_side, 0)
+        for pos, result in zip(jpeg_positions, decoded):
+            if result is None:
+                # odd JPEG the native decoder rejects -> PIL retry
+                try:
+                    out[pos] = load_image_rgb(paths[pos], 0, fast=False)
+                except Exception:
+                    out[pos] = None
+            else:
+                h, w, rgb = result
+                out[pos] = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    return out
+
+
 def load_image_rgb(
     path: str | os.PathLike, min_short_side: int = 0, fast: bool = True
 ) -> np.ndarray:
