@@ -83,6 +83,52 @@ def bench_search() -> dict:
     return {"per_query_ms": per_query}
 
 
+def bench_search_10m() -> None:
+    """Extra: 10M vectors bf16 on one chip (BASELINE config 4's scale; the
+    mesh version shards this across chips, single chip holds it in 10GB)."""
+    import jax
+    import jax.numpy as jnp
+
+    from evossearch_tpu.index.search import _topk_batch
+
+    emb = jax.random.normal(jax.random.key(3), (10_000_000, DIM), jnp.bfloat16)
+    queries = jax.random.normal(jax.random.key(4), (QUERY_BATCH, DIM), jnp.float32)
+    _sync(_topk_batch(emb, queries, K))
+    batch_ms = _p50(lambda: _topk_batch(emb, queries, K), iters=8)
+    log(f"10M vectors bf16, batched {QUERY_BATCH}: total p50={batch_ms:.1f}ms "
+        f"-> {batch_ms / QUERY_BATCH:.3f} ms/query")
+
+
+def bench_encode_l14() -> None:
+    """Extra: ViT-L/14 encode throughput (BASELINE config 3's encoder)."""
+    import jax
+    import jax.numpy as jnp
+
+    from evossearch_tpu.core import CLIP_MODEL_SPECS
+    from evossearch_tpu.models import encode_image, init_params
+
+    spec = CLIP_MODEL_SPECS["ViT-L/14"]
+    params = init_params(jax.random.key(0), spec)
+    batch = 128
+    images = jax.random.normal(
+        jax.random.key(5), (batch, 224, 224, 3), dtype=jnp.bfloat16
+    )
+
+    @jax.jit
+    def fwd(p, x):
+        return encode_image(p, x, spec, compute_dtype=jnp.bfloat16)
+
+    _sync(fwd(params, images))
+    reps = 8
+    t0 = time.perf_counter()
+    outs = [fwd(params, images) for _ in range(reps)]
+    for out in outs:
+        np.asarray(out)
+    dt = time.perf_counter() - t0
+    log(f"encode ViT-L/14 bf16: {reps * batch / dt:.0f} images/sec/chip "
+        f"(batch {batch})")
+
+
 def bench_encode() -> None:
     """Secondary: ViT-B/32 image encode throughput (preprocessed inputs)."""
     import jax
@@ -114,10 +160,11 @@ def bench_encode() -> None:
 
 
 def main() -> None:
-    try:
-        bench_encode()
-    except Exception as e:  # secondary metric must not kill the primary one
-        log(f"encode bench failed: {e}")
+    for extra in (bench_encode, bench_encode_l14, bench_search_10m):
+        try:
+            extra()
+        except Exception as e:  # extras must not kill the primary metric
+            log(f"{extra.__name__} failed: {e}")
     stats = bench_search()
     value = stats["per_query_ms"]
     print(json.dumps({

@@ -20,3 +20,20 @@ Layer map (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level exports; jax-importing modules load only when used.
+    if name == "SearchEngine":
+        from .engine import SearchEngine
+
+        return SearchEngine
+    if name == "Config":
+        from .core import Config
+
+        return Config
+    if name == "create_app":
+        from .server import create_app
+
+        return create_app
+    raise AttributeError(f"module 'evossearch_tpu' has no attribute {name!r}")

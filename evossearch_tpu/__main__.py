@@ -1,0 +1,86 @@
+"""Command-line interface: ``python -m evossearch_tpu <command>``.
+
+The reference is server-only (``python oldapp.py``); the CLI adds scriptable
+access to the same engine: index folders, search them, serve HTTP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="evossearch_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_index = sub.add_parser("index", help="(re)index an image folder")
+    p_index.add_argument("folder")
+    p_index.add_argument("--resume", action="store_true",
+                         help="resume a crashed indexing run")
+
+    p_search = sub.add_parser("search", help="text search an indexed folder")
+    p_search.add_argument("folder")
+    p_search.add_argument("query")
+    p_search.add_argument("-k", type=int, default=12)
+
+    p_similar = sub.add_parser("similar", help="find images similar to a file")
+    p_similar.add_argument("folder")
+    p_similar.add_argument("image")
+    p_similar.add_argument("-k", type=int, default=12)
+
+    p_serve = sub.add_parser("serve", help="run the HTTP server")
+    p_serve.add_argument("--host", default=None)
+    p_serve.add_argument("--port", type=int, default=None)
+
+    args = parser.parse_args(argv)
+
+    from .core import config
+    from .engine import SearchEngine
+
+    if args.command == "serve":
+        from .server.__main__ import main as serve_main
+
+        sys.argv = ["evossearch_tpu.server"]
+        if args.host:
+            sys.argv += ["--host", args.host]
+        if args.port:
+            sys.argv += ["--port", str(args.port)]
+        serve_main()
+        return 0
+
+    engine = SearchEngine(cfg=config)
+
+    if args.command == "index":
+        count = engine.index_folder(args.folder, resume=args.resume)
+        if count == 0:
+            print("No images found in folder", file=sys.stderr)
+            return 1
+        print(json.dumps({"success": True, "count": count}))
+        return 0
+
+    if args.command in ("search", "similar"):
+        if args.command == "search":
+            result = engine.search_text(args.folder, args.query, args.k)
+        else:
+            from PIL import Image
+
+            result = engine.search_image(
+                args.folder, Image.open(args.image), args.k
+            )
+        if result is None:
+            print("Folder not indexed", file=sys.stderr)
+            return 1
+        scores, indices, reader = result
+        for score, idx in zip(scores, indices):
+            print(json.dumps(
+                {"path": reader.paths[int(idx)], "similarity": float(score)}
+            ))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,91 @@
+"""CLI subcommands and frontend template sanity."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from evossearch_tpu.core.constants import CLIPModelSpec
+
+TINY = CLIPModelSpec(
+    name="tiny", image_size=64, patch_size=16, vision_width=64,
+    vision_layers=2, vision_heads=4, text_width=48, text_layers=2,
+    text_heads=4, vocab_size=49408, context_length=77, embed_dim=32,
+)
+
+
+@pytest.fixture()
+def folder(tmp_path, monkeypatch):
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+        ).save(tmp_path / f"x{i}.jpg")
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    return tmp_path
+
+
+def test_cli_index_and_search(folder, capsys, monkeypatch):
+    import evossearch_tpu.__main__ as cli
+
+    # patch the engine to the tiny spec for speed
+    from evossearch_tpu.engine import SearchEngine as RealEngine
+
+    monkeypatch.setattr(
+        cli, "SearchEngine", None, raising=False
+    )  # not used; cli imports inside main
+
+    import evossearch_tpu.engine as engine_mod
+
+    orig_init = RealEngine.__init__
+
+    def tiny_init(self, cfg=None, spec=None, params=None):
+        orig_init(self, cfg=cfg, spec=TINY, params=params)
+
+    monkeypatch.setattr(engine_mod.SearchEngine, "__init__", tiny_init)
+
+    assert cli.main(["index", str(folder)]) == 0
+    out = capsys.readouterr().out.strip()
+    assert json.loads(out) == {"success": True, "count": 4}
+
+    assert cli.main(["search", str(folder), "a photo", "-k", "2"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    row = json.loads(lines[0])
+    assert "path" in row and "similarity" in row
+
+    img = str(sorted(folder.glob("*.jpg"))[1])
+    assert cli.main(["similar", str(folder), img, "-k", "3"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[0])["path"] == img  # self-hit first
+
+
+def test_cli_unindexed_folder_errors(tmp_path, capsys, monkeypatch):
+    import evossearch_tpu.__main__ as cli
+    import evossearch_tpu.engine as engine_mod
+
+    orig_init = engine_mod.SearchEngine.__init__
+
+    def tiny_init(self, cfg=None, spec=None, params=None):
+        orig_init(self, cfg=cfg, spec=TINY, params=params)
+
+    monkeypatch.setattr(engine_mod.SearchEngine, "__init__", tiny_init)
+    assert cli.main(["search", str(tmp_path), "q"]) == 1
+    assert cli.main(["index", str(tmp_path)]) == 1
+
+
+def test_frontend_references_only_real_endpoints():
+    """Every fetch() target in the SPA must be a served route."""
+    import re
+
+    from evossearch_tpu.server.frontend import PAGE, render_page
+
+    endpoints = set(re.findall(r'fetch\("(/[a-z_]*)', PAGE))
+    served = {"/check_index", "/index", "/search", "/search_by_image",
+              "/comments", "/commented_images", "/settings", "/image"}
+    assert endpoints <= served, endpoints - served
+    html = render_page("<option>12</option>", "123")
+    assert "{result_options_html}" not in html
+    assert "{timestamp}" not in html
+    assert html.count("<script>") == html.count("</script>") == 1
