@@ -300,10 +300,25 @@ class SearchEngine:
                 if "ivf" not in entry:
                     from .index.ivf import IVFIndex
 
-                    entry["ivf"] = IVFIndex.build(
-                        np.asarray(reader.embeddings(), np.float32),
-                        nlist=self.cfg.IVF_NLIST,
-                    )
+                    ivf_path = reader.root / "ivf.npz"
+                    ivf = None
+                    if (
+                        ivf_path.exists()
+                        and ivf_path.stat().st_mtime >= entry["mtime"]
+                    ):
+                        ivf = IVFIndex.load(ivf_path)
+                        if ivf is not None and ivf.n != reader.count:
+                            ivf = None
+                    if ivf is None:
+                        ivf = IVFIndex.build(
+                            np.asarray(reader.embeddings(), np.float32),
+                            nlist=self.cfg.IVF_NLIST,
+                        )
+                        try:
+                            ivf.save(ivf_path)
+                        except OSError:
+                            pass  # persistence is an optimization only
+                    entry["ivf"] = ivf
                 scores, idx = entry["ivf"].search(
                     query, k, nprobe=self.cfg.IVF_NPROBE
                 )
@@ -314,11 +329,9 @@ class SearchEngine:
                         str(Path(folder)), query, k
                     )
                 elif kernel == "host":
-                    from .index.search import exact_search_host
+                    from .index.search import exact_search_host_reader
 
-                    scores, idx = exact_search_host(
-                        np.asarray(reader.embeddings()), query, k
-                    )
+                    scores, idx = exact_search_host_reader(reader, query, k)
                 elif kernel == "sharded":
                     if "sharded" not in entry:
                         from .parallel import ShardedIndex

@@ -103,6 +103,35 @@ class IVFIndex:
             n=n, nlist=nlist,
         )
 
+    def save(self, path) -> None:
+        """Persist the trained index (centroids + bucket layout) so server
+        restarts skip k-means retraining."""
+        np.savez(
+            path,
+            centroids=np.asarray(self.centroids),
+            buckets=np.asarray(self.buckets),
+            bucket_ids=np.asarray(self.bucket_ids),
+            spill=np.asarray(self.spill),
+            spill_ids=np.asarray(self.spill_ids),
+            meta=np.asarray([self.n, self.nlist], np.int64),
+        )
+
+    @classmethod
+    def load(cls, path) -> "IVFIndex | None":
+        try:
+            with np.load(path, allow_pickle=False) as data:
+                n, nlist = (int(v) for v in data["meta"])
+                return cls(
+                    centroids=jnp.asarray(data["centroids"]),
+                    buckets=jnp.asarray(data["buckets"]),
+                    bucket_ids=jnp.asarray(data["bucket_ids"]),
+                    spill=jnp.asarray(data["spill"]),
+                    spill_ids=jnp.asarray(data["spill_ids"]),
+                    n=n, nlist=nlist,
+                )
+        except Exception:
+            return None
+
     def search(
         self, query: np.ndarray, k: int, nprobe: int = 0
     ) -> tuple[np.ndarray, np.ndarray]:

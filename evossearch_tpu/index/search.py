@@ -167,6 +167,28 @@ def exact_search_host(emb: np.ndarray, query: np.ndarray, k: int):
     return scores[order].astype(np.float32), order.astype(np.int64)
 
 
+def exact_search_host_reader(reader, query: np.ndarray, k: int):
+    """Host exact top-k straight over a reader's mmap shards — no
+    concatenation, no device: scan each shard with the native scanner and
+    merge with global row offsets. The zero-copy path for corpora larger
+    than host RAM would allow duplicating."""
+    k = min(k, reader.count)
+    if k == 0:
+        return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+    best_s: list[np.ndarray] = []
+    best_i: list[np.ndarray] = []
+    offset = 0
+    for shard in reader.shard_arrays():
+        s, i = exact_search_host(shard, query, min(k, shard.shape[0]))
+        best_s.append(s)
+        best_i.append(i + offset)
+        offset += shard.shape[0]
+    cand_s = np.concatenate(best_s)
+    cand_i = np.concatenate(best_i)
+    order = np.lexsort((cand_i, -cand_s))[:k]
+    return cand_s[order], cand_i[order]
+
+
 def exact_search_batch(emb, queries: np.ndarray, k: int):
     """Batched exact top-k: queries (Q, d) -> (scores (Q,k), indices (Q,k))."""
     n = emb.shape[0]
