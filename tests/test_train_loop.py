@@ -1,0 +1,84 @@
+"""Training loop end-to-end on tiny data: loss decreases, checkpoints
+round-trip, resume works, retrieval accuracy improves over random."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from evossearch_tpu.core.constants import CLIPModelSpec
+from evossearch_tpu.tokenizer import CLIPTokenizer
+from evossearch_tpu.train.data import PairDataset
+from evossearch_tpu.train.loop import fit, retrieval_accuracy
+
+TINY = CLIPModelSpec(
+    name="tiny", image_size=32, patch_size=16, vision_width=64,
+    vision_layers=2, vision_heads=4, text_width=64, text_layers=2,
+    text_heads=4, vocab_size=49408, context_length=16, embed_dim=32,
+)
+
+
+@pytest.fixture()
+def pair_folder(tmp_path):
+    rng = np.random.default_rng(0)
+    captions = {}
+    colors = {"red": (200, 30, 30), "green": (30, 200, 30),
+              "blue": (30, 30, 200), "yellow": (200, 200, 30)}
+    i = 0
+    for name, rgb in colors.items():
+        for j in range(4):
+            arr = np.full((48, 48, 3), rgb, np.uint8)
+            arr = (arr + rng.normal(0, 12, arr.shape)).clip(0, 255).astype(np.uint8)
+            fname = f"img_{i:03d}.jpg"
+            Image.fromarray(arr).save(tmp_path / fname, quality=92)
+            captions[fname] = f"a {name} square"
+            i += 1
+    (tmp_path / "captions.json").write_text(json.dumps(captions))
+    return tmp_path
+
+
+def test_fit_decreases_loss_and_checkpoints(pair_folder, tmp_path):
+    ds = PairDataset(pair_folder, CLIPTokenizer(), TINY, batch_size=8, seed=0)
+    assert len(ds) == 2
+    params, history = fit(
+        TINY, ds, epochs=6, learning_rate=3e-3,
+        checkpoint_dir=tmp_path / "ck", log_every=100,
+    )
+    assert history[-1] < history[0]
+    assert (tmp_path / "ck" / "clip.npz").exists()
+
+    # trained model should retrieve the right caption within a batch far
+    # better than chance (1/8)
+    acc = retrieval_accuracy(params, TINY, ds.epoch())
+    assert acc > 0.3, acc
+
+
+def test_fit_resume_from_checkpoint(pair_folder, tmp_path):
+    ds = PairDataset(pair_folder, CLIPTokenizer(), TINY, batch_size=8, seed=1)
+    _, h1 = fit(TINY, ds, epochs=1, learning_rate=1e-3,
+                checkpoint_dir=tmp_path / "ck", log_every=100)
+    _, h2 = fit(TINY, ds, epochs=1, learning_rate=1e-3,
+                checkpoint_dir=tmp_path / "ck", resume=True, log_every=100)
+    assert h2[0] < h1[0]  # continued training from the checkpoint
+
+
+def test_fit_sharded_mesh(pair_folder, tmp_path):
+    from evossearch_tpu.train import train_mesh
+
+    ds = PairDataset(pair_folder, CLIPTokenizer(), TINY, batch_size=8, seed=2)
+    mesh = train_mesh(model_parallel=2)
+    _, history = fit(TINY, ds, epochs=1, learning_rate=1e-3, mesh=mesh,
+                     log_every=100)
+    assert np.isfinite(history[0])
+
+
+def test_dataset_skips_missing_and_corrupt(pair_folder):
+    (pair_folder / "img_000.jpg").write_bytes(b"broken")
+    captions = json.loads((pair_folder / "captions.json").read_text())
+    captions["ghost.jpg"] = "not on disk"
+    (pair_folder / "captions.json").write_text(json.dumps(captions))
+    ds = PairDataset(pair_folder, CLIPTokenizer(), TINY, batch_size=8, seed=0)
+    batches = list(ds.epoch())
+    total = sum(b[0].shape[0] for b in batches)
+    assert 0 < total <= 15  # corrupt one skipped, ghost not listed
