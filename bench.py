@@ -56,22 +56,24 @@ def bench_search() -> dict:
     import jax
     import jax.numpy as jnp
 
-    from evossearch_tpu.index.search import _topk_batch, _topk_matvec
+    from evossearch_tpu.index.search import exact_search_batch, _topk_matvec
 
     log(f"devices: {jax.devices()}")
     emb = jax.random.normal(jax.random.key(0), (N_VECTORS, DIM), jnp.float32)
     emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
     queries = jax.random.normal(jax.random.key(1), (QUERY_BATCH, DIM), jnp.float32)
     queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+    queries_np = np.asarray(queries)
 
     trivial = jax.jit(lambda x: x + 1.0)
     zeros = jnp.zeros((8,))
     _sync(trivial(zeros))  # compile
-    _sync(_topk_batch(emb, queries, K))
+    exact_search_batch(emb, queries_np, K)  # compile (certified fast path)
     _sync(_topk_matvec(emb, queries[0], K))
 
     floor_ms = _p50(lambda: trivial(zeros))
-    batch_ms = _p50(lambda: _topk_batch(emb, queries, K))
+    # exact_search_batch returns host arrays (its own sync)
+    batch_ms = _p50(lambda: exact_search_batch(emb, queries_np, K)[0])
     single_ms = _p50(lambda: _topk_matvec(emb, queries[0], K))
     per_query = batch_ms / QUERY_BATCH
 
@@ -89,12 +91,14 @@ def bench_search_10m() -> None:
     import jax
     import jax.numpy as jnp
 
-    from evossearch_tpu.index.search import _topk_batch
+    from evossearch_tpu.index.search import exact_search_batch
 
     emb = jax.random.normal(jax.random.key(3), (10_000_000, DIM), jnp.bfloat16)
-    queries = jax.random.normal(jax.random.key(4), (QUERY_BATCH, DIM), jnp.float32)
-    _sync(_topk_batch(emb, queries, K))
-    batch_ms = _p50(lambda: _topk_batch(emb, queries, K), iters=8)
+    queries = np.asarray(
+        jax.random.normal(jax.random.key(4), (QUERY_BATCH, DIM), jnp.float32)
+    )
+    exact_search_batch(emb, queries, K)  # compile
+    batch_ms = _p50(lambda: exact_search_batch(emb, queries, K)[0], iters=8)
     log(f"10M vectors bf16, batched {QUERY_BATCH}: total p50={batch_ms:.1f}ms "
         f"-> {batch_ms / QUERY_BATCH:.3f} ms/query")
 

@@ -19,6 +19,8 @@ def main(argv: list[str] | None = None) -> int:
     p_index.add_argument("folder")
     p_index.add_argument("--resume", action="store_true",
                          help="resume a crashed indexing run")
+    p_index.add_argument("--incremental", action="store_true",
+                         help="reuse embeddings of unchanged files")
 
     p_search = sub.add_parser("search", help="text search an indexed folder")
     p_search.add_argument("folder")
@@ -53,7 +55,10 @@ def main(argv: list[str] | None = None) -> int:
     engine = SearchEngine(cfg=config)
 
     if args.command == "index":
-        count = engine.index_folder(args.folder, resume=args.resume)
+        count = engine.index_folder(
+            args.folder, resume=args.resume,
+            incremental=args.incremental or None,
+        )
         if count == 0:
             print("No images found in folder", file=sys.stderr)
             return 1

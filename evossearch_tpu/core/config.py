@@ -118,6 +118,9 @@ class Config:
         #   host    = native C++ threaded scan over the mmap store
         #   sharded = corpus-sharded mesh search with ICI merge
         self.SEARCH_KERNEL = os.getenv("EVOSSEARCH_SEARCH_KERNEL", "auto")
+        # Incremental /index: reuse embeddings of files whose mtime+size is
+        # unchanged (the reference re-embeds everything on every /index).
+        self.INCREMENTAL_INDEX = _env_bool("EVOSSEARCH_INCREMENTAL_INDEX", "False")
         # Micro-batching window for concurrent searches (ms; 0 disables).
         # Concurrent same-folder queries within the window share one device
         # dispatch (~20x amortization measured on this rig, bench.py).

@@ -206,12 +206,17 @@ class SearchEngine:
 
     # -- index operations --
 
-    def index_folder(self, folder: str, resume: bool = False) -> int:
+    def index_folder(
+        self, folder: str, resume: bool = False, incremental: bool | None = None
+    ) -> int:
         """Batched (re)index of a folder; returns row count (0 = no images)."""
+        if incremental is None:
+            incremental = self.cfg.INCREMENTAL_INDEX
         with self.timers.stage("index_folder"):
             count = build_index(
                 folder,
                 pipeline_encoder=self,
+                incremental=incremental,
                 model_name=self.spec.name,
                 dim=self.spec.embed_dim,
                 batch_size=self.cfg.BATCH_SIZE,

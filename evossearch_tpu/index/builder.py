@@ -52,6 +52,7 @@ def build_index(
     fast_decode: bool = True,
     decode_short_side: int = 448,
     pipeline_encoder=None,
+    incremental: bool = False,
 ) -> int:
     """Index every image in ``folder``; returns number of rows written.
 
@@ -80,6 +81,10 @@ def build_index(
             folder, model=model_name, dim=dim, dtype_name=dtype_name,
             index_folder_name=index_folder_name, **kwargs,
         )
+        if incremental:
+            done |= _reuse_unchanged_rows(
+                folder, paths, writer, model_name, dim, index_folder_name
+            )
 
     if pipeline_encoder is not None:
         _pipelined_build(
@@ -127,6 +132,53 @@ def build_index(
     writer.finalize()
     log.info("indexed %d images in %s", writer.count, folder)
     return writer.count
+
+
+def _reuse_unchanged_rows(
+    folder, paths, writer, model_name: str, dim: int, index_folder_name: str
+) -> set[str]:
+    """Incremental re-index: copy embeddings of files whose (mtime, size)
+    is unchanged since the live index was built. The reference always
+    re-embeds everything (oldapp.py:54-90); with mtime+size identity this
+    turns routine re-indexing of a big folder into a metadata diff plus a
+    handful of new embeddings. Returns the set of reused paths.
+    """
+    from .store import IndexReader
+
+    old = IndexReader.open(folder, index_folder_name)
+    if old is None or old.model != model_name or old.dim != dim or not old.metadata:
+        return set()
+    by_path = {m["path"]: (row, m) for row, m in enumerate(old.metadata)}
+    reuse_rows: list[int] = []
+    reuse_paths: list[str] = []
+    reuse_meta: list[dict] = []
+    for p in paths:
+        sp = str(p)
+        hit = by_path.get(sp)
+        if hit is None:
+            continue
+        row, meta = hit
+        try:
+            stat = p.stat()
+        except OSError:
+            continue
+        if meta.get("mtime") == stat.st_mtime and meta.get("size") == stat.st_size:
+            reuse_rows.append(row)
+            reuse_paths.append(sp)
+            reuse_meta.append(meta)
+    if not reuse_rows:
+        return set()
+    emb = old.embeddings()
+    chunk = 65536
+    for start in range(0, len(reuse_rows), chunk):
+        rows = reuse_rows[start : start + chunk]
+        writer.append(
+            np.asarray(emb[rows], np.float32),
+            reuse_paths[start : start + chunk],
+            reuse_meta[start : start + chunk],
+        )
+    log.info("incremental: reused %d unchanged embeddings", len(reuse_rows))
+    return set(reuse_paths)
 
 
 def _pipelined_build(

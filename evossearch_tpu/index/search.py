@@ -69,6 +69,11 @@ def _certified_topk(scores: jax.Array, k: int):
     including the lowest-index tie contract. `ok`=False marks queries that
     need the slow exact fallback (vanishingly rare at recall 0.999 with
     >5x overfetch; guaranteed caught when it happens).
+
+    Verified on TPU at 10M bf16 rows: certified rows match the blocked
+    exact selection bit-for-bit when both run on the same score tensor.
+    (Two separately compiled matmuls can rank bf16 near-ties differently —
+    exactness is always w.r.t. the scores a path computes.)
     """
     c = min(_OVERFETCH, scores.shape[1])
     cand_s, cand_i = jax.lax.approx_max_k(
