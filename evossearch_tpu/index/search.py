@@ -98,19 +98,35 @@ def _fast_topk_batch(emb: jax.Array, queries: jax.Array, k: int):
     return _certified_topk(scores, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _fast_topk_batch_packed(emb: jax.Array, queries: jax.Array, k: int):
+    """Same as _fast_topk_batch, packed into ONE (Q, 2k+1) f32 array:
+    [scores | bitcast(indices) | ok]. One device->host fetch instead of
+    three — device->host round-trips are not free (this rig's relay
+    charges ~30ms each; even PCIe charges latency)."""
+    ok, s, i = _fast_topk_batch(emb, queries, k)
+    return jnp.concatenate(
+        [
+            s,
+            jax.lax.bitcast_convert_type(i, jnp.float32),
+            ok[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
 def _searched_with_fallback(emb, queries: np.ndarray, k: int):
     """Fast certified path with per-query exact fallback; (Q,k) results."""
     import jax.numpy as jnp
 
     emb = jnp.asarray(emb)
-    queries_d = jnp.asarray(queries, jnp.float32)
-    ok, s, i = _fast_topk_batch(emb, queries_d, k)
-    ok = np.asarray(ok)
-    s, i = np.asarray(s).copy(), np.asarray(i).copy()
+    queries_d = jnp.asarray(queries, dtype=jnp.float32)  # no-op if on device
+    packed = np.asarray(_fast_topk_batch_packed(emb, queries_d, k))
+    s = packed[:, :k].copy()
+    i = np.ascontiguousarray(packed[:, k : 2 * k]).view(np.int32).copy()
+    ok = packed[:, -1] > 0
     if not ok.all():
-        slow_s, slow_i = _topk_batch(
-            emb, jnp.asarray(np.asarray(queries, np.float32)[~ok]), k
-        )
+        slow_s, slow_i = _topk_batch(emb, queries_d[np.flatnonzero(~ok)], k)
         s[~ok] = np.asarray(slow_s)
         i[~ok] = np.asarray(slow_i)
     return s, i
