@@ -276,7 +276,8 @@ class SearchEngine:
         )
 
     def _execute_search_batch(self, folder: str, queries: np.ndarray, k: int):
-        """One batched device dispatch over a folder's cached matrix."""
+        """One batched device dispatch over a folder's cached corpus
+        (single-device matrix or sharded mesh, per the resolved kernel)."""
         import jax.numpy as jnp
 
         from .index.search import exact_search_batch
@@ -284,9 +285,19 @@ class SearchEngine:
         entry, reader = self._cached_index(folder)
         if reader is None:
             raise LookupError("Folder not indexed")
+        k = min(k, reader.count)
+        if self._resolve_kernel() == "sharded":
+            if "sharded" not in entry:
+                from .parallel import ShardedIndex
+
+                entry["sharded"] = ShardedIndex.from_matrix(
+                    np.asarray(reader.embeddings()),
+                    n_devices=self.cfg.MESH_DEVICES,
+                )
+            return entry["sharded"].search_batch(queries, k)
         if "emb" not in entry:
             entry["emb"] = jnp.asarray(np.asarray(reader.embeddings()))
-        return exact_search_batch(entry["emb"], queries, min(k, reader.count))
+        return exact_search_batch(entry["emb"], queries, k)
 
     def search_embedding(self, folder: str, query: np.ndarray, k: int):
         """Top-k over a folder's index. Returns (scores, indices, reader)
@@ -329,7 +340,7 @@ class SearchEngine:
                 )
             else:
                 kernel = self._resolve_kernel()
-                if kernel == "xla" and self._batcher is not None:
+                if kernel in ("xla", "sharded") and self._batcher is not None:
                     scores, idx = self._batcher.submit(
                         str(Path(folder)), query, k
                     )

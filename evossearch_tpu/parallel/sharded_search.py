@@ -31,27 +31,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import CORPUS_AXIS, corpus_mesh
 
 
-def _sharded_topk(emb, counts, query, k: int, mesh: Mesh):
-    """shard_map body factory; emb: (n_pad, d) sharded by rows."""
+def _sharded_topk(emb, counts, queries, k: int, mesh: Mesh):
+    """shard_map body factory; emb: (n_pad, d) row-sharded, queries (Q, d)
+    replicated. Returns replicated (Q, k) scores/global indices."""
 
-    def local(emb_ref, counts_ref, q):
+    def local(emb_ref, counts_ref, qs):
         # emb_ref: (rows_per_shard, d) this shard; counts_ref: (1,) valid rows
         scores = jnp.dot(
-            emb_ref, q.astype(emb_ref.dtype), preferred_element_type=jnp.float32
-        )
+            qs.astype(emb_ref.dtype), emb_ref.T, preferred_element_type=jnp.float32
+        )  # (Q, rows)
         rows = emb_ref.shape[0]
         valid = counts_ref[0]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)[:, 0]
-        scores = jnp.where(row_ids < valid, scores, -jnp.inf)
-        s, i = jax.lax.top_k(scores, min(k, rows))
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+        scores = jnp.where(col_ids < valid, scores, -jnp.inf)
+        s, i = jax.lax.top_k(scores, min(k, rows))  # (Q, k_local)
         shard_id = jax.lax.axis_index(CORPUS_AXIS)
         gidx = i + shard_id * rows
-        # Merge over ICI: gather each shard's k candidates, reduce on every
-        # device (replicated output).
-        all_s = jax.lax.all_gather(s, CORPUS_AXIS)  # (n_shards, k)
+        # Merge over ICI: gather each shard's k candidates per query and
+        # reduce on every device (replicated output). Gather order keeps
+        # equal scores in ascending global-index order.
+        all_s = jax.lax.all_gather(s, CORPUS_AXIS)  # (n_shards, Q, k_local)
         all_i = jax.lax.all_gather(gidx, CORPUS_AXIS)
-        fs, fpos = jax.lax.top_k(all_s.reshape(-1), k)
-        return fs, all_i.reshape(-1)[fpos]
+        cand_s = all_s.transpose(1, 0, 2).reshape(qs.shape[0], -1)
+        cand_i = all_i.transpose(1, 0, 2).reshape(qs.shape[0], -1)
+        fs, fpos = jax.lax.top_k(cand_s, k)
+        return fs, jnp.take_along_axis(cand_i, fpos, axis=1)
 
     return jax.shard_map(
         local,
@@ -62,12 +66,12 @@ def _sharded_topk(emb, counts, query, k: int, mesh: Mesh):
         # top_k on every device); the static varying-axes checker can't
         # infer that, so disable it
         check_vma=False,
-    )(emb, counts, query)
+    )(emb, counts, queries)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
-def _sharded_topk_jit(emb, counts, query, k: int, mesh: Mesh):
-    return _sharded_topk(emb, counts, query, k, mesh)
+def _sharded_topk_jit(emb, counts, queries, k: int, mesh: Mesh):
+    return _sharded_topk(emb, counts, queries, k, mesh)
 
 
 @dataclass
@@ -104,10 +108,18 @@ class ShardedIndex:
 
     def search(self, query: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Exact top-k over the sharded corpus; FAISS-shaped result."""
+        scores, idx = self.search_batch(np.asarray(query)[None, :], k)
+        return scores[0], idx[0]
+
+    def search_batch(
+        self, queries: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched exact top-k: (Q, d) queries -> (Q, k) results."""
+        q = queries.shape[0]
         k = min(k, self.n)
         if k == 0:
-            return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+            return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
         scores, idx = _sharded_topk_jit(
-            self.emb, self.counts, jnp.asarray(query, jnp.float32), k, self.mesh
+            self.emb, self.counts, jnp.asarray(queries, jnp.float32), k, self.mesh
         )
         return np.asarray(scores), np.asarray(idx)

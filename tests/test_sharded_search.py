@@ -77,6 +77,18 @@ def test_negative_scores_not_beaten_by_padding(mesh):
     assert (scores < 0).all()
 
 
+def test_batched_queries_match_single(mesh):
+    rng = np.random.default_rng(6)
+    matrix = rng.standard_normal((777, 32)).astype(np.float32)
+    queries = rng.standard_normal((5, 32)).astype(np.float32)
+    sh = ShardedIndex.from_matrix(matrix, mesh=mesh)
+    bs, bi = sh.search_batch(queries, 12)
+    for row in range(5):
+        s1, i1 = exact_search(matrix, queries[row], 12)
+        np.testing.assert_array_equal(bi[row], i1)
+        np.testing.assert_allclose(bs[row], s1, atol=1e-6)
+
+
 def test_bfloat16_corpus(mesh):
     import ml_dtypes
 
