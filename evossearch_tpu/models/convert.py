@@ -65,12 +65,17 @@ def _hf_tower(sd: dict, prefix: str, layers: int) -> dict:
             "bias": per_layer(lambda i: ln(i, "layer_norm1", "bias")),
         },
         "attn": {
-            "wq": per_layer(lambda i: lin_w(i, "self_attn.q_proj")),
-            "bq": per_layer(lambda i: lin_b(i, "self_attn.q_proj")),
-            "wk": per_layer(lambda i: lin_w(i, "self_attn.k_proj")),
-            "bk": per_layer(lambda i: lin_b(i, "self_attn.k_proj")),
-            "wv": per_layer(lambda i: lin_w(i, "self_attn.v_proj")),
-            "bv": per_layer(lambda i: lin_b(i, "self_attn.v_proj")),
+            # fused qkv layout: (in, 3W) = concat of q/k/v output dims
+            "wqkv": per_layer(
+                lambda i: np.concatenate(
+                    [lin_w(i, f"self_attn.{p}_proj") for p in "qkv"], axis=-1
+                )
+            ),
+            "bqkv": per_layer(
+                lambda i: np.concatenate(
+                    [lin_b(i, f"self_attn.{p}_proj") for p in "qkv"]
+                )
+            ),
             "wo": per_layer(lambda i: lin_w(i, "self_attn.out_proj")),
             "bo": per_layer(lambda i: lin_b(i, "self_attn.out_proj")),
         },
@@ -119,18 +124,8 @@ def from_hf_state_dict(sd: dict, vision_layers: int, text_layers: int) -> dict:
 
 def _openai_tower(sd: dict, prefix: str, layers: int) -> dict:
     """Stack one OpenAI transformer (`{prefix}.resblocks.N.*`)."""
-    width = _np(sd[f"{prefix}.resblocks.0.ln_1.weight"]).shape[0]
-
     def per_layer(field_fn):
         return _stack([field_fn(i) for i in range(layers)])
-
-    def qkv_w(i, part):  # part 0/1/2 = q/k/v
-        w = _np(sd[f"{prefix}.resblocks.{i}.attn.in_proj_weight"])
-        return w[part * width : (part + 1) * width].T
-
-    def qkv_b(i, part):
-        b = _np(sd[f"{prefix}.resblocks.{i}.attn.in_proj_bias"])
-        return b[part * width : (part + 1) * width]
 
     def lin_w(i, name):
         return _np(sd[f"{prefix}.resblocks.{i}.{name}.weight"]).T
@@ -147,12 +142,14 @@ def _openai_tower(sd: dict, prefix: str, layers: int) -> dict:
             "bias": per_layer(lambda i: ln(i, "ln_1", "bias")),
         },
         "attn": {
-            "wq": per_layer(lambda i: qkv_w(i, 0)),
-            "bq": per_layer(lambda i: qkv_b(i, 0)),
-            "wk": per_layer(lambda i: qkv_w(i, 1)),
-            "bk": per_layer(lambda i: qkv_b(i, 1)),
-            "wv": per_layer(lambda i: qkv_w(i, 2)),
-            "bv": per_layer(lambda i: qkv_b(i, 2)),
+            # OpenAI stores qkv already fused as in_proj (3W, W); transpose
+            # gives our (in, 3W) layout directly
+            "wqkv": per_layer(
+                lambda i: _np(sd[f"{prefix}.resblocks.{i}.attn.in_proj_weight"]).T
+            ),
+            "bqkv": per_layer(
+                lambda i: _np(sd[f"{prefix}.resblocks.{i}.attn.in_proj_bias"])
+            ),
             "wo": per_layer(lambda i: lin_w(i, "attn.out_proj")),
             "bo": per_layer(lambda i: lin_b(i, "attn.out_proj")),
         },

@@ -93,9 +93,10 @@ def _tower_specs() -> dict:
     return {
         "ln_1": {"scale": P(None, None), "bias": P(None, None)},
         "attn": {
-            "wq": P(None, None, MODEL_AXIS), "bq": P(None, MODEL_AXIS),
-            "wk": P(None, None, MODEL_AXIS), "bk": P(None, MODEL_AXIS),
-            "wv": P(None, None, MODEL_AXIS), "bv": P(None, MODEL_AXIS),
+            # fused qkv: shard the 3W output dim; GSPMD reshards around the
+            # in-kernel split, keeping correctness (cost: one extra
+            # collective vs per-projection sharding)
+            "wqkv": P(None, None, MODEL_AXIS), "bqkv": P(None, MODEL_AXIS),
             "wo": P(None, MODEL_AXIS, None), "bo": P(None, None),
         },
         "ln_2": {"scale": P(None, None), "bias": P(None, None)},
