@@ -55,12 +55,21 @@ def test_fit_decreases_loss_and_checkpoints(pair_folder, tmp_path):
 
 
 def test_fit_resume_from_checkpoint(pair_folder, tmp_path):
+    import jax
+
+    from evossearch_tpu.models.checkpoint import load_params
+
     ds = PairDataset(pair_folder, CLIPTokenizer(), TINY, batch_size=8, seed=1)
-    _, h1 = fit(TINY, ds, epochs=1, learning_rate=1e-3,
-                checkpoint_dir=tmp_path / "ck", log_every=100)
-    _, h2 = fit(TINY, ds, epochs=1, learning_rate=1e-3,
-                checkpoint_dir=tmp_path / "ck", resume=True, log_every=100)
-    assert h2[0] < h1[0]  # continued training from the checkpoint
+    fit(TINY, ds, epochs=1, learning_rate=1e-3,
+        checkpoint_dir=tmp_path / "ck", log_every=100)
+    saved, _ = load_params(tmp_path / "ck" / "clip.npz")
+    # resume with lr=0: returned params must equal the checkpoint exactly —
+    # proving fit() started from it, not from a fresh init
+    params, _ = fit(TINY, ds, epochs=1, learning_rate=0.0,
+                    checkpoint_dir=tmp_path / "ck", resume=True, log_every=100)
+    for a, b in zip(jax.tree_util.tree_leaves(saved),
+                    jax.tree_util.tree_leaves(jax.device_get(params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
 def test_fit_sharded_mesh(pair_folder, tmp_path):
