@@ -144,7 +144,7 @@ def bench_encode() -> None:
 
     spec = CLIP_MODEL_SPECS["ViT-B/32"]
     params = init_params(jax.random.key(0), spec)
-    batch = 256
+    batch = 512  # measured optimum on v5e (256: -22%, 1024: -38%)
     images = jax.random.normal(
         jax.random.key(2), (batch, 224, 224, 3), dtype=jnp.bfloat16
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import threading
+from collections import OrderedDict
 from pathlib import Path
 
 import numpy as np
@@ -51,8 +52,14 @@ class SearchEngine:
         self.tokenizer = load_tokenizer(self.cfg.BPE_VOCAB_PATH or None)
         self._params = params
         self._params_lock = threading.Lock()
-        self._index_cache: dict[str, tuple[float, object, IndexReader]] = {}
+        # Per-folder search-state cache, LRU-bounded: each entry can pin a
+        # corpus-sized device array, so unbounded growth would eat HBM.
+        self._index_cache: "OrderedDict[str, dict]" = OrderedDict()
         self._cache_lock = threading.Lock()
+        self._max_cached_folders = 4
+        # Serializes concurrent /index runs per folder (the staging dir is
+        # per-folder; the reference's single-threaded server never races).
+        self._folder_locks: dict[str, threading.Lock] = {}
         self.timers = StageTimer()
         self.counters = Counters()
 
@@ -212,7 +219,10 @@ class SearchEngine:
         """Batched (re)index of a folder; returns row count (0 = no images)."""
         if incremental is None:
             incremental = self.cfg.INCREMENTAL_INDEX
-        with self.timers.stage("index_folder"):
+        key = str(Path(folder))
+        with self._cache_lock:
+            lock = self._folder_locks.setdefault(key, threading.Lock())
+        with lock, self.timers.stage("index_folder"):
             count = build_index(
                 folder,
                 pipeline_encoder=self,
@@ -250,9 +260,13 @@ class SearchEngine:
         with self._cache_lock:
             cached = self._index_cache.get(key)
             if cached is not None and cached["mtime"] == mtime:
+                self._index_cache.move_to_end(key)
                 return cached, cached["reader"]
             entry = {"mtime": mtime, "reader": reader}
             self._index_cache[key] = entry
+            self._index_cache.move_to_end(key)
+            while len(self._index_cache) > self._max_cached_folders:
+                self._index_cache.popitem(last=False)
         return entry, reader
 
     def _resolve_kernel(self) -> str:
