@@ -52,6 +52,12 @@ class SearchEngine:
         self.tokenizer = load_tokenizer(self.cfg.BPE_VOCAB_PATH or None)
         self._params = params
         self._params_lock = threading.Lock()
+        if params is None and self.cfg.CHECKPOINT_PATH:
+            # Load eagerly: the checkpoint may carry a different
+            # architecture, and _load_params overwrites self.spec — which
+            # the cached jit encoders and index manifests capture. Lazy
+            # loading would let them capture the stale default spec.
+            self._params = self._load_params()
         # Per-folder search-state cache, LRU-bounded: each entry can pin a
         # corpus-sized device array, so unbounded growth would eat HBM.
         self._index_cache: "OrderedDict[str, dict]" = OrderedDict()
@@ -75,12 +81,18 @@ class SearchEngine:
     def _load_params(self) -> dict:
         import jax
 
-        if self.cfg.CHECKPOINT_PATH:
-            from .models import load_checkpoint
+        path = self.cfg.CHECKPOINT_PATH
+        if path:
+            if path.endswith(".npz"):  # our native checkpoint format
+                from .models.checkpoint import load_params
 
-            params, spec = load_checkpoint(self.cfg.CHECKPOINT_PATH)
+                params, spec = load_params(path)
+            else:  # OpenAI .pt / HF directory
+                from .models import load_checkpoint
+
+                params, spec = load_checkpoint(path)
             self.spec = spec
-            log.info("loaded checkpoint %s (%s)", self.cfg.CHECKPOINT_PATH, spec.name)
+            log.info("loaded checkpoint %s (%s)", path, spec.name)
             return jax.device_put(params)
         log.warning(
             "no checkpoint configured (EVOSSEARCH_CHECKPOINT); using "
@@ -204,9 +216,19 @@ class SearchEngine:
         return self.encode_prepared(canvases, a_h_u, a_w_u, size_idx)
 
     def encode_text(self, text: str) -> np.ndarray:
-        """Query text -> (embed_dim,) L2-normalized float32 embedding."""
+        """Query text -> (embed_dim,) L2-normalized float32 embedding.
+
+        With the byte-level fallback tokenizer (~1 token/byte, no vocab
+        asset configured) any query over ~75 bytes would overflow the
+        context and raise; truncate in that mode so moderate queries work.
+        With a real vocab, overflow raises like `clip.tokenize` does in the
+        reference (-> HTTP 500, oldapp.py error path).
+        """
         with self.timers.stage("encode_text"):
-            tokens = self.tokenizer.tokenize([text], self.spec.context_length)
+            tokens = self.tokenizer.tokenize(
+                [text], self.spec.context_length,
+                truncate=self.tokenizer.fallback,
+            )
             emb = np.asarray(self._jit_encode_text(self.params, tokens))[0]
         self.counters.add("texts_encoded")
         return emb
@@ -234,6 +256,7 @@ class SearchEngine:
                 extensions=self.cfg.SUPPORTED_EXTENSIONS,
                 index_folder_name=self.cfg.INDEX_FOLDER_NAME,
                 resume=resume,
+                rows_per_shard=self.cfg.SHARD_SIZE,
                 fast_decode=self.cfg.FAST_DECODE,
                 decode_short_side=2 * self.spec.image_size,
             )
@@ -252,17 +275,30 @@ class SearchEngine:
         (mesh), IVFIndex (approximate), or nothing (host scan reads the
         mmap directly).
         """
+        from .index.store import index_dir
+
         key = str(Path(folder))
+        # Invalidation token is a cheap manifest stat — a full
+        # IndexReader.open re-parses O(corpus) JSON and must only happen on
+        # miss/change, not per query.
+        try:
+            mtime = (
+                index_dir(folder, self.cfg.INDEX_FOLDER_NAME) / "manifest.json"
+            ).stat().st_mtime
+        except OSError:
+            mtime = None
+        with self._cache_lock:
+            cached = self._index_cache.get(key)
+            if cached is not None and mtime is not None and cached["mtime"] == mtime:
+                self._index_cache.move_to_end(key)
+                return cached, cached["reader"]
+        if mtime is None:
+            return None, None
         reader = self.open_index(folder)
         if reader is None:
             return None, None
-        mtime = reader.mtime()
         with self._cache_lock:
-            cached = self._index_cache.get(key)
-            if cached is not None and cached["mtime"] == mtime:
-                self._index_cache.move_to_end(key)
-                return cached, cached["reader"]
-            entry = {"mtime": mtime, "reader": reader}
+            entry = {"mtime": reader.mtime(), "reader": reader}
             self._index_cache[key] = entry
             self._index_cache.move_to_end(key)
             while len(self._index_cache) > self._max_cached_folders:

@@ -168,15 +168,28 @@ def _reuse_unchanged_rows(
             reuse_meta.append(meta)
     if not reuse_rows:
         return set()
-    emb = old.embeddings()
-    chunk = 65536
-    for start in range(0, len(reuse_rows), chunk):
-        rows = reuse_rows[start : start + chunk]
-        writer.append(
-            np.asarray(emb[rows], np.float32),
-            reuse_paths[start : start + chunk],
-            reuse_meta[start : start + chunk],
-        )
+    # Copy shard-by-shard straight from the mmaps — old.embeddings() would
+    # materialize the whole matrix in RAM for multi-shard indexes (20 GB at
+    # 10M x 512 f32). reuse_rows is ascending (scan order follows metadata
+    # row order within each shard is irrelevant; we just range-partition).
+    order = np.argsort(reuse_rows, kind="stable")
+    rows_sorted = np.asarray(reuse_rows)[order]
+    paths_sorted = [reuse_paths[i] for i in order]
+    meta_sorted = [reuse_meta[i] for i in order]
+    offset = 0
+    cursor = 0
+    for shard in old.shard_arrays():
+        hi = offset + shard.shape[0]
+        end = cursor + int(np.searchsorted(rows_sorted[cursor:], hi))
+        if end > cursor:
+            local = rows_sorted[cursor:end] - offset
+            writer.append(
+                np.asarray(shard[local], np.float32),
+                paths_sorted[cursor:end],
+                meta_sorted[cursor:end],
+            )
+        cursor = end
+        offset = hi
     log.info("incremental: reused %d unchanged embeddings", len(reuse_rows))
     return set(reuse_paths)
 

@@ -23,12 +23,20 @@ def _comments_file(folder, index_folder_name: str = ".clip_index") -> Path:
 
 
 @contextmanager
-def _locked(path: Path):
-    """Advisory exclusive lock on a sidecar .lock file (POSIX fcntl)."""
+def comments_lock(folder, index_folder_name: str = ".clip_index"):
+    """Advisory exclusive lock guarding comments.json read-modify-write.
+
+    The lock file is a SIBLING of the index dir (``.clip_index.comments.lock``)
+    rather than inside it: IndexWriter.finalize swaps the whole index dir
+    away during publish, and a lock living inside the swapped dir would
+    protect nothing (a concurrent append could land in the doomed old dir
+    and vanish). finalize() takes this same lock around the swap.
+    """
     import fcntl
 
-    path.parent.mkdir(exist_ok=True)
-    lock_path = path.with_suffix(".lock")
+    lock_path = index_dir(folder, index_folder_name).with_name(
+        index_folder_name + ".comments.lock"
+    )
     with open(lock_path, "w") as lock_f:
         fcntl.flock(lock_f, fcntl.LOCK_EX)
         try:
@@ -72,8 +80,7 @@ def add_image_comment(
     folder, image_path: str, comment: str, index_folder_name: str = ".clip_index"
 ) -> bool:
     """Append with the reference's timestamp format (oldapp.py:180-182)."""
-    f = _comments_file(folder, index_folder_name)
-    with _locked(f):
+    with comments_lock(folder, index_folder_name):
         data = load_comments(folder, index_folder_name)
         timestamp = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
         data.setdefault(image_path, []).append(f"[{timestamp}] {comment}")

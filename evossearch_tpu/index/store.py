@@ -204,16 +204,21 @@ class IndexWriter:
         (self.root / "manifest.json").write_text(json.dumps(self._manifest()))
         (self.root / "progress.json").unlink(missing_ok=True)
         # Atomic publish: move live index away (preserving comments.json),
-        # move staging in, then clean up.
+        # move staging in, then clean up. The swap holds the comments lock
+        # so a concurrent comment append can't land in the doomed old dir
+        # and silently vanish (the lock file lives OUTSIDE the swapped dir).
+        from .comments import comments_lock
+
         old = self.final_root.with_name(self.final_root.name + ".old")
         if old.exists():
             shutil.rmtree(old)
-        if self.final_root.exists():
-            comments = self.final_root / "comments.json"
-            if comments.exists():
-                shutil.copy2(comments, self.root / "comments.json")
-            self.final_root.rename(old)
-        self.root.rename(self.final_root)
+        with comments_lock(self.final_root.parent, self.final_root.name):
+            if self.final_root.exists():
+                comments = self.final_root / "comments.json"
+                if comments.exists():
+                    shutil.copy2(comments, self.root / "comments.json")
+                self.final_root.rename(old)
+            self.root.rename(self.final_root)
         if old.exists():
             shutil.rmtree(old)
 

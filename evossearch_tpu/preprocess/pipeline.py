@@ -131,18 +131,29 @@ def device_preprocess_indexed(canvases, a_h_unique, a_w_unique, size_idx,
     )
 
 
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
 def prepare_batch(
     arrays: list[np.ndarray],
     target: int = 224,
-    pad_multiple: int = 128,
+    pad_multiple: int = 256,
     max_side: int = DEFAULT_MAX_SIDE,
 ):
     """Batch of (H, W, 3) uint8 arrays -> device-ready tensors.
 
     Returns (canvases (B, Hp, Wp, 3) uint8, a_h_unique (U, target, Hp) f32,
-    a_w_unique (U, target, Wp) f32, size_idx (B,) int32). The canvas is
-    sized to the batch maximum rounded up to ``pad_multiple`` (not a fixed
-    global maximum), so homogeneous batches ship no padding waste.
+    a_w_unique (U, target, Wp) f32, size_idx (B,) int32).
+
+    Every shape the downstream jit sees is drawn from a SMALL ladder so
+    heterogeneous folders can't trigger a recompile per batch: canvas dims
+    round up to ``pad_multiple`` (<= max_side/256 = 4 values per axis) and
+    the unique-size count U pads to a power of two (repeating row 0). A
+    homogeneous batch still ships one matrix pair and a near-tight canvas.
     """
     shrunk = [
         _host_shrink(a, max_side, target)
@@ -158,12 +169,16 @@ def prepare_batch(
         h, w = a.shape[:2]
         canvases[i, :h, :w] = a
         size_idx[i] = sizes.setdefault((h, w), len(sizes))
-    a_h = np.zeros((len(sizes), target, hp), np.float32)
-    a_w = np.zeros((len(sizes), target, wp), np.float32)
+    u_pad = _next_pow2(len(sizes))
+    a_h = np.zeros((u_pad, target, hp), np.float32)
+    a_w = np.zeros((u_pad, target, wp), np.float32)
     for (h, w), u in sizes.items():
         mh, mw = clip_resize_crop_matrices(h, w, target)
         a_h[u, :, :h] = mh
         a_w[u, :, :w] = mw
+    for u in range(len(sizes), u_pad):  # pad rows: duplicate row 0
+        a_h[u] = a_h[0]
+        a_w[u] = a_w[0]
     return canvases, a_h, a_w, size_idx
 
 

@@ -142,9 +142,12 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
             abs_path = os.path.abspath(filepath)
             if not os.path.exists(abs_path) or not os.path.isfile(abs_path):
                 return html_response("Image not found", 404)
-            # Only serve files living in an indexed folder (see module doc).
+            # Only serve files living in a folder with a REAL index (a
+            # manifest, not just the marker dir — POST /comments creates
+            # the directory in arbitrary folders, which must not unlock
+            # file serving there).
             parent = Path(abs_path).parent
-            if not (parent / cfg.INDEX_FOLDER_NAME).exists():
+            if not (parent / cfg.INDEX_FOLDER_NAME / "manifest.json").is_file():
                 return html_response("Access denied", 403)
             return send_file(abs_path)
         except Exception as e:

@@ -47,13 +47,24 @@ class FilePart:
 
 
 def _parse_multipart(body: bytes, boundary: bytes):
-    """multipart/form-data -> (form fields, file parts)."""
+    """multipart/form-data -> (form fields, file parts).
+
+    Only the exact CRLF delimiters around each part are removed — binary
+    payloads legitimately begin/end with 0x0D/0x0A bytes, so stripping all
+    of them would corrupt uploads.
+    """
     form: dict[str, str] = {}
     files: dict[str, FilePart] = {}
     delim = b"--" + boundary
-    for chunk in body.split(delim):
-        chunk = chunk.strip(b"\r\n")
-        if not chunk or chunk == b"--":
+    parts = body.split(delim)
+    for chunk in parts[1:]:  # parts[0] is the preamble
+        if chunk.startswith(b"--"):
+            break  # closing delimiter
+        if chunk.startswith(b"\r\n"):
+            chunk = chunk[2:]
+        if chunk.endswith(b"\r\n"):
+            chunk = chunk[:-2]
+        if not chunk:
             continue
         head, _, payload = chunk.partition(b"\r\n\r\n")
         headers = {}
