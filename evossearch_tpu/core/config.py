@@ -118,6 +118,9 @@ class Config:
         #   host    = native C++ threaded scan over the mmap store
         #   sharded = corpus-sharded mesh search with ICI merge
         self.SEARCH_KERNEL = os.getenv("EVOSSEARCH_SEARCH_KERNEL", "auto")
+        # Auto-migrate reference-format .clip_index dirs (FAISS + pickles)
+        # to the shard store on first access.
+        self.MIGRATE_LEGACY = _env_bool("EVOSSEARCH_MIGRATE_LEGACY", "True")
         # Incremental /index: reuse embeddings of files whose mtime+size is
         # unchanged (the reference re-embeds everything on every /index).
         self.INCREMENTAL_INDEX = _env_bool("EVOSSEARCH_INCREMENTAL_INDEX", "False")

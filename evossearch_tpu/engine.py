@@ -265,7 +265,17 @@ class SearchEngine:
         return count
 
     def open_index(self, folder: str) -> IndexReader | None:
-        return IndexReader.open(folder, self.cfg.INDEX_FOLDER_NAME)
+        reader = IndexReader.open(folder, self.cfg.INDEX_FOLDER_NAME)
+        if reader is None and self.cfg.MIGRATE_LEGACY:
+            from .index.legacy import migrate_legacy_index
+
+            migrated = migrate_legacy_index(
+                folder, self.spec.name, self.spec.embed_dim,
+                self.cfg.INDEX_FOLDER_NAME,
+            )
+            if migrated:
+                reader = IndexReader.open(folder, self.cfg.INDEX_FOLDER_NAME)
+        return reader
 
     def _cached_index(self, folder: str):
         """Per-folder search-state cache, invalidated by manifest mtime.
