@@ -224,12 +224,18 @@ class SearchEngine:
         With a real vocab, overflow raises like `clip.tokenize` does in the
         reference (-> HTTP 500, oldapp.py error path).
         """
+        return np.asarray(self._encode_text_device(text))
+
+    def _encode_text_device(self, text: str):
+        """encode_text but leaving the embedding ON DEVICE — the serving
+        path feeds it straight into the search dispatch, avoiding a
+        device->host->device round trip per query."""
         with self.timers.stage("encode_text"):
             tokens = self.tokenizer.tokenize(
                 [text], self.spec.context_length,
                 truncate=self.tokenizer.fallback,
             )
-            emb = np.asarray(self._jit_encode_text(self.params, tokens))[0]
+            emb = self._jit_encode_text(self.params, tokens)[0]
         self.counters.add("texts_encoded")
         return emb
 
@@ -438,7 +444,7 @@ class SearchEngine:
         return scores, idx, reader
 
     def search_text(self, folder: str, query: str, k: int):
-        return self.search_embedding(folder, self.encode_text(query), k)
+        return self.search_embedding(folder, self._encode_text_device(query), k)
 
     def search_image(self, folder: str, pil_image, k: int):
         emb = self.encode_images([pil_image])[0]

@@ -29,7 +29,7 @@ log = get_logger("serving")
 @dataclass
 class _Pending:
     folder: str
-    query: np.ndarray
+    query: object  # np.ndarray or device array (kept as-is — no host fetch)
     k: int
     future: Future = field(default_factory=Future)
 
@@ -64,9 +64,12 @@ class MicroBatcher:
         self._wake.set()
         self._thread.join(timeout=2)
 
-    def submit(self, folder: str, query: np.ndarray, k: int):
-        """Blocking search; returns (scores (k',), indices (k',))."""
-        item = _Pending(folder=folder, query=np.asarray(query, np.float32), k=k)
+    def submit(self, folder: str, query, k: int):
+        """Blocking search; returns (scores (k',), indices (k',)).
+
+        ``query`` may be a numpy array or a device array — device arrays
+        are passed through without a host fetch."""
+        item = _Pending(folder=folder, query=query, k=k)
         with self._lock:
             self._queue.append(item)
         self._wake.set()
@@ -96,7 +99,12 @@ class MicroBatcher:
 
     def _run(self, folder: str, batch: list[_Pending]) -> None:
         try:
-            queries = np.stack([p.query for p in batch])
+            if any(not isinstance(p.query, np.ndarray) for p in batch):
+                import jax.numpy as jnp  # stack on device, no host fetch
+
+                queries = jnp.stack([jnp.asarray(p.query) for p in batch])
+            else:
+                queries = np.stack([p.query for p in batch])
             k = max(p.k for p in batch)
             scores, indices = self._execute_batch(folder, queries, k)
             self.dispatches += 1
