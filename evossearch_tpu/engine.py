@@ -111,20 +111,6 @@ class SearchEngine:
     # -- encoders --
 
     @functools.cached_property
-    def _jit_encode_image(self):
-        import jax
-
-        from .models import encode_image
-
-        spec, dtype = self.spec, self._compute_dtype
-
-        @jax.jit
-        def fn(params, images):
-            return encode_image(params, images, spec, compute_dtype=dtype)
-
-        return fn
-
-    @functools.cached_property
     def _jit_encode_text(self):
         import jax
 

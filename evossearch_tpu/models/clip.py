@@ -49,8 +49,7 @@ def encode_image(
     v = params["visual"]
     cfg = TowerConfig(
         width=spec.vision_width, layers=spec.vision_layers,
-        heads=spec.vision_heads, causal=False,
-        compute_dtype=compute_dtype, remat=remat,
+        heads=spec.vision_heads, causal=False, remat=remat,
     )
     x = _patchify(images.astype(compute_dtype), spec.patch_size)
     x = jnp.dot(
@@ -79,8 +78,7 @@ def encode_text(
     t = params["text"]
     cfg = TowerConfig(
         width=spec.text_width, layers=spec.text_layers,
-        heads=spec.text_heads, causal=True,
-        compute_dtype=compute_dtype, remat=remat,
+        heads=spec.text_heads, causal=True, remat=remat,
     )
     x = t["token_embed"][tokens].astype(compute_dtype)
     x = x + t["pos_embed"].astype(compute_dtype)

@@ -28,13 +28,13 @@ LN_EPS = 1e-5  # OpenAI/HF CLIP LayerNorm epsilon
 
 @dataclasses.dataclass(frozen=True)
 class TowerConfig:
-    """Shape info one transformer tower needs at trace time."""
+    """Shape info one transformer tower needs at trace time. (Compute dtype
+    is a property of the activations flowing in, not of the config.)"""
 
     width: int
     layers: int
     heads: int
     causal: bool = False
-    compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False  # rematerialize block activations (training)
 
 
@@ -104,11 +104,9 @@ def block(params: dict, x: jax.Array, heads: int, causal: bool) -> jax.Array:
 
 def transformer(stacked_params: dict, x: jax.Array, cfg: TowerConfig) -> jax.Array:
     """Run `cfg.layers` blocks whose params are stacked on a leading axis."""
+    fn = jax.checkpoint(block, static_argnums=(2, 3)) if cfg.remat else block
 
     def body(h, layer_params):
-        fn = block
-        if cfg.remat:
-            fn = jax.checkpoint(block, static_argnums=(2, 3))
         return fn(layer_params, h, cfg.heads, cfg.causal), None
 
     x, _ = jax.lax.scan(body, x, stacked_params)

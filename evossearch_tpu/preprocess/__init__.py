@@ -3,7 +3,6 @@ from .pipeline import (
     device_preprocess,
     device_preprocess_indexed,
     prepare_batch,
-    prepare_host,
     preprocess_batch,
     preprocess_reference,
 )
@@ -14,7 +13,6 @@ __all__ = [
     "device_preprocess",
     "device_preprocess_indexed",
     "prepare_batch",
-    "prepare_host",
     "preprocess_batch",
     "preprocess_reference",
     "clip_resize_crop_matrices",

@@ -4,22 +4,22 @@ resize + center-crop + normalize.
 Replaces the reference's per-image host PIL path (`preprocess(Image.open(p))`
 at oldapp.py:32, batch size 1) with a batched, static-shape device stage:
 
-  host:   decode (PIL) -> RGB uint8, pad into a (MAX, MAX, 3) canvas,
-          fetch cached per-size resize/crop weight matrices
-  device: one jitted kernel: two resampling GEMMs + /255 + CLIP mean/std
-          normalize, over the whole batch
+  host:   decode -> RGB uint8, pack into a batch-sized canvas, fetch cached
+          per-unique-size resize/crop weight matrices (prepare_batch)
+  device: one jitted kernel: matrix gather + two resampling GEMMs + /255 +
+          CLIP mean/std normalize, over the whole batch
 
-Static shapes are what make this jittable for arbitrary image sizes: the
-weight matrices are zero-padded to (224, MAX); padded canvas pixels get zero
-weight so they never influence the output. Images larger than MAX on a side
-are pre-shrunk host-side with the SAME resampling algorithm (numpy), which
-composes near-identically for the sizes involved.
+Static shapes make this jittable for arbitrary image sizes: weight matrices
+are zero-padded to the canvas dims (padded canvas pixels get zero weight so
+they never influence the output), and every shape is drawn from a bounded
+ladder so mixed-size folders can't force per-batch recompiles. Images
+larger than the canvas are pre-shrunk host-side with the SAME resampling
+algorithm.
 """
 
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
 
 import numpy as np
 
@@ -27,27 +27,6 @@ from ..core.constants import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
 from .resize import clip_resize_crop_matrices, resample_matrix, resized_dims
 
 DEFAULT_MAX_SIDE = 1024
-
-
-@dataclass
-class HostPrepared:
-    """One image, host-prepared for the device kernel."""
-
-    canvas: np.ndarray  # (max_side, max_side, 3) uint8
-    a_h: np.ndarray  # (target, max_side) float32
-    a_w: np.ndarray  # (target, max_side) float32
-
-
-@functools.lru_cache(maxsize=4096)
-def _padded_matrices(
-    height: int, width: int, target: int, max_side: int
-) -> tuple[np.ndarray, np.ndarray]:
-    a_h, a_w = clip_resize_crop_matrices(height, width, target)
-    ph = np.zeros((target, max_side), dtype=np.float32)
-    pw = np.zeros((target, max_side), dtype=np.float32)
-    ph[:, :height] = a_h
-    pw[:, :width] = a_w
-    return ph, pw
 
 
 def _host_shrink(arr: np.ndarray, max_side: int, target: int) -> np.ndarray:
@@ -68,25 +47,6 @@ def _host_shrink(arr: np.ndarray, max_side: int, target: int) -> np.ndarray:
     out = np.clip(np.round(out), 0, 255)
     out = np.einsum("th,hsc->tsc", a_h, out)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
-
-
-def prepare_host(
-    image, target: int = 224, max_side: int = DEFAULT_MAX_SIDE
-) -> HostPrepared:
-    """PIL image (any mode/size) or (H, W, 3) uint8 array -> HostPrepared."""
-    if isinstance(image, np.ndarray):
-        arr = image
-    else:
-        if image.mode != "RGB":
-            image = image.convert("RGB")
-        arr = np.asarray(image, dtype=np.uint8)
-    if arr.shape[0] > max_side or arr.shape[1] > max_side:
-        arr = _host_shrink(arr, max_side, target)
-    h, w = arr.shape[:2]
-    canvas = np.zeros((max_side, max_side, 3), dtype=np.uint8)
-    canvas[:h, :w] = arr
-    a_h, a_w = _padded_matrices(h, w, target, max_side)
-    return HostPrepared(canvas=canvas, a_h=a_h, a_w=a_w)
 
 
 def device_preprocess(canvases, a_h, a_w, out_dtype=None):
@@ -183,23 +143,37 @@ def prepare_batch(
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_device_preprocess(out_dtype):
+def _jitted_device_preprocess_indexed(out_dtype):
     import jax
 
-    return jax.jit(functools.partial(device_preprocess, out_dtype=out_dtype))
+    return jax.jit(
+        functools.partial(device_preprocess_indexed, out_dtype=out_dtype)
+    )
 
 
 def preprocess_batch(
     images, target: int = 224, max_side: int = DEFAULT_MAX_SIDE, out_dtype=None
 ):
-    """List of PIL images -> (B, target, target, 3) preprocessed device array."""
+    """PIL images / uint8 arrays -> (B, target, target, 3) device array.
+
+    Convenience wrapper over prepare_batch + the indexed device kernel —
+    the same path the engine's fused preprocess+encode uses.
+    """
     import jax.numpy as jnp
 
-    prepped = [prepare_host(im, target, max_side) for im in images]
-    canvases = jnp.asarray(np.stack([p.canvas for p in prepped]))
-    a_h = jnp.asarray(np.stack([p.a_h for p in prepped]))
-    a_w = jnp.asarray(np.stack([p.a_w for p in prepped]))
-    return _jitted_device_preprocess(out_dtype)(canvases, a_h, a_w)
+    arrays = []
+    for img in images:
+        if isinstance(img, np.ndarray):
+            arrays.append(img)
+        else:
+            if img.mode != "RGB":
+                img = img.convert("RGB")
+            arrays.append(np.asarray(img, dtype=np.uint8))
+    canvases, a_h, a_w, size_idx = prepare_batch(arrays, target, max_side=max_side)
+    return _jitted_device_preprocess_indexed(out_dtype)(
+        jnp.asarray(canvases), jnp.asarray(a_h), jnp.asarray(a_w),
+        jnp.asarray(size_idx),
+    )
 
 
 def preprocess_reference(image, target: int = 224) -> np.ndarray:

@@ -16,6 +16,7 @@ folder, preserving result equivalence with the unbatched path (tested).
 from __future__ import annotations
 
 import threading
+import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 
@@ -84,7 +85,7 @@ class MicroBatcher:
                 return
             self._wake.clear()
             # batching window: let concurrent requests pile up
-            threading.Event().wait(self._window_s)
+            time.sleep(self._window_s)
             while True:
                 with self._lock:
                     if not self._queue:
