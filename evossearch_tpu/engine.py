@@ -299,6 +299,15 @@ class SearchEngine:
         reader = self.open_index(folder)
         if reader is None:
             return None, None
+        if reader.model != self.spec.name:
+            # Same flaw exists in the reference (no model recorded at all):
+            # embeddings from a different encoder give silently wrong
+            # rankings. We at least know, so say so.
+            log.warning(
+                "index in %s was built with model %r but the server runs %r "
+                "— results will be wrong until the folder is re-indexed",
+                folder, reader.model, self.spec.name,
+            )
         with self._cache_lock:
             entry = {"mtime": reader.mtime(), "reader": reader}
             self._index_cache[key] = entry

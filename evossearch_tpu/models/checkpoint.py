@@ -55,3 +55,29 @@ def load_params(path: str | Path) -> tuple[dict, CLIPModelSpec]:
     spec_raw = bytes(flat.pop("__spec__")).decode()
     spec = CLIPModelSpec(**json.loads(spec_raw))
     return _unflatten(flat), spec
+
+
+# -- orbax-backed sharded checkpoints (multi-host / sharded training) --
+#
+# The npz format above gathers everything to one host — fine for CLIP-sized
+# models. For sharded training state (params + optimizer moments across a
+# mesh), orbax writes each shard from its owner and restores with the
+# target shardings, no host gather.
+
+
+def save_sharded(path: str | Path, state) -> None:
+    """Save a (possibly sharded) pytree with orbax; blocks until durable."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+
+
+def load_sharded(path: str | Path, target):
+    """Restore into ``target``'s structure/shardings (abstract arrays ok)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(Path(path).resolve(), target)
