@@ -133,3 +133,32 @@ def init_params(key: jax.Array, spec: CLIPModelSpec) -> dict:
 
 def count_params(params: dict) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+def expected_param_count(spec: CLIPModelSpec) -> int:
+    """Analytic parameter count for a spec (sanity anchor: ViT-B/32 ==
+    151,277,313 and ViT-B/16 == 149,620,737, the OpenAI release counts)."""
+
+    def tower(width: int, layers: int) -> int:
+        attn = width * 3 * width + 3 * width + width * width + width
+        mlp = width * 4 * width + 4 * width + 4 * width * width + width
+        lns = 2 * (2 * width)
+        return layers * (attn + mlp + lns)
+
+    vw, tw = spec.vision_width, spec.text_width
+    visual = (
+        spec.patch_size * spec.patch_size * 3 * vw  # patch embed (no bias)
+        + vw  # class embedding
+        + spec.num_image_tokens * vw  # pos embed
+        + 2 * vw + 2 * vw  # ln_pre + ln_post
+        + tower(vw, spec.vision_layers)
+        + vw * spec.embed_dim  # projection
+    )
+    text = (
+        spec.vocab_size * tw
+        + spec.context_length * tw
+        + 2 * tw  # ln_final
+        + tower(tw, spec.text_layers)
+        + tw * spec.embed_dim
+    )
+    return visual + text + 1  # + logit_scale
