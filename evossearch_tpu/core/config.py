@@ -184,11 +184,45 @@ class Config:
         print("=" * 60)
 
 
+_MANAGED_ENV_KEYS = {
+    "EVOSSEARCH_HOST", "EVOSSEARCH_PORT", "EVOSSEARCH_DEBUG",
+    "EVOSSEARCH_CLIP_MODEL", "EVOSSEARCH_MIN_RESULTS", "EVOSSEARCH_MAX_RESULTS",
+    "EVOSSEARCH_DEFAULT_RESULTS", "EVOSSEARCH_BATCH_SIZE",
+    "EVOSSEARCH_THUMBNAIL_QUALITY", "EVOSSEARCH_INDEX_FOLDER",
+    "EVOSSEARCH_MAX_COMMENT_LENGTH", "EVOSSEARCH_MAX_FILE_SIZE_MB",
+}
+
+
+def _parse_env_file(path: Path) -> dict[str, str]:
+    """Parse a .env without touching os.environ."""
+    out: dict[str, str] = {}
+    try:
+        for raw in path.read_text(encoding="utf-8").splitlines():
+            line = raw.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            if key.strip():
+                out[key.strip()] = value.strip()
+    except OSError:
+        pass
+    return out
+
+
 def write_env_file(settings: dict, path: str | os.PathLike = ".env") -> None:
     """Write the generated .env, same key set as reference oldapp.py:2216-2244.
 
     `settings` uses the camelCase keys of the /settings JSON contract.
+    Keys the settings panel doesn't manage (EVOSSEARCH_CHECKPOINT,
+    EVOSSEARCH_BPE_VOCAB, search/TPU knobs, ...) are preserved from the
+    existing file — the reference rewrites wholesale, but silently dropping
+    the checkpoint path would downgrade the server to random weights on
+    the next restart.
     """
+    preserved = {
+        k: v for k, v in _parse_env_file(Path(path)).items()
+        if k not in _MANAGED_ENV_KEYS
+    }
     content = f"""# evossearch-tpu Configuration
 # Generated by settings panel
 
@@ -218,6 +252,10 @@ EVOSSEARCH_MAX_COMMENT_LENGTH={settings.get('maxCommentLength', 100)}
 # Security configuration
 EVOSSEARCH_MAX_FILE_SIZE_MB={settings.get('maxFileSize', 50)}
 """
+    if preserved:
+        content += "\n# Preserved settings (not managed by the settings panel)\n"
+        for key, value in sorted(preserved.items()):
+            content += f"{key}={value}\n"
     Path(path).write_text(content, encoding="utf-8")
 
 

@@ -233,10 +233,7 @@ class SearchEngine:
         """Batched (re)index of a folder; returns row count (0 = no images)."""
         if incremental is None:
             incremental = self.cfg.INCREMENTAL_INDEX
-        key = str(Path(folder))
-        with self._cache_lock:
-            lock = self._folder_locks.setdefault(key, threading.Lock())
-        with lock, self.timers.stage("index_folder"):
+        with self._folder_lock(folder), self.timers.stage("index_folder"):
             count = build_index(
                 folder,
                 pipeline_encoder=self,
@@ -256,17 +253,31 @@ class SearchEngine:
             self._index_cache.pop(str(Path(folder)), None)
         return count
 
+    def _folder_lock(self, folder: str) -> threading.Lock:
+        with self._cache_lock:
+            return self._folder_locks.setdefault(
+                str(Path(folder)), threading.Lock()
+            )
+
     def open_index(self, folder: str) -> IndexReader | None:
         reader = IndexReader.open(folder, self.cfg.INDEX_FOLDER_NAME)
         if reader is None and self.cfg.MIGRATE_LEGACY:
             from .index.legacy import migrate_legacy_index
 
-            migrated = migrate_legacy_index(
-                folder, self.spec.name, self.spec.embed_dim,
-                self.cfg.INDEX_FOLDER_NAME,
-            )
-            if migrated:
+            # Migration rewrites the index dir; serialize with /index runs
+            # and concurrent first-touch requests (racing writers would
+            # destroy the legacy files without publishing a replacement).
+            with self._folder_lock(folder):
                 reader = IndexReader.open(folder, self.cfg.INDEX_FOLDER_NAME)
+                if reader is None:
+                    migrated = migrate_legacy_index(
+                        folder, self.spec.name, self.spec.embed_dim,
+                        self.cfg.INDEX_FOLDER_NAME,
+                    )
+                    if migrated:
+                        reader = IndexReader.open(
+                            folder, self.cfg.INDEX_FOLDER_NAME
+                        )
         return reader
 
     def _cached_index(self, folder: str):
@@ -309,7 +320,13 @@ class SearchEngine:
                 folder, reader.model, self.spec.name,
             )
         with self._cache_lock:
-            entry = {"mtime": reader.mtime(), "reader": reader}
+            # entry["lock"] guards lazy materialization of corpus-sized
+            # state (device matrix / ShardedIndex / IVF): a burst of first
+            # queries must build it once, not once per thread.
+            entry = {
+                "mtime": reader.mtime(), "reader": reader,
+                "lock": threading.Lock(),
+            }
             self._index_cache[key] = entry
             self._index_cache.move_to_end(key)
             while len(self._index_cache) > self._max_cached_folders:
@@ -336,44 +353,33 @@ class SearchEngine:
             self._execute_search_batch, window_ms=self.cfg.MICROBATCH_MS
         )
 
-    def _execute_search_batch(self, folder: str, queries: np.ndarray, k: int):
-        """One batched device dispatch over a folder's cached corpus
-        (single-device matrix or sharded mesh, per the resolved kernel)."""
+    # -- lazy corpus-state materialization (double-checked per-entry lock:
+    #    a burst of first queries builds each corpus-sized object once) --
+
+    def _entry_emb(self, entry, reader):
         import jax.numpy as jnp
 
-        from .index.search import exact_search_batch
-
-        entry, reader = self._cached_index(folder)
-        if reader is None:
-            raise LookupError("Folder not indexed")
-        k = min(k, reader.count)
-        if self._resolve_kernel() == "sharded":
-            if "sharded" not in entry:
-                from .parallel import ShardedIndex
-
-                entry["sharded"] = ShardedIndex.from_matrix(
-                    np.asarray(reader.embeddings()),
-                    n_devices=self.cfg.MESH_DEVICES,
-                )
-            return entry["sharded"].search_batch(queries, k)
         if "emb" not in entry:
-            entry["emb"] = jnp.asarray(np.asarray(reader.embeddings()))
-        return exact_search_batch(entry["emb"], queries, k)
+            with entry["lock"]:
+                if "emb" not in entry:
+                    entry["emb"] = jnp.asarray(np.asarray(reader.embeddings()))
+        return entry["emb"]
 
-    def search_embedding(self, folder: str, query: np.ndarray, k: int):
-        """Top-k over a folder's index. Returns (scores, indices, reader)
-        or None when the folder isn't indexed."""
-        import jax.numpy as jnp
+    def _entry_sharded(self, entry, reader):
+        if "sharded" not in entry:
+            with entry["lock"]:
+                if "sharded" not in entry:
+                    from .parallel import ShardedIndex
 
-        entry, reader = self._cached_index(folder)
-        if reader is None:
-            return None
-        k = min(k, reader.count)
-        if k == 0:
-            return np.zeros((0,), np.float32), np.zeros((0,), np.int64), reader
-        query = query.astype(np.float32)
-        with self.timers.stage("search"):
-            if self.cfg.INDEX_KIND == "ivf":
+                    entry["sharded"] = ShardedIndex.from_matrix(
+                        np.asarray(reader.embeddings()),
+                        n_devices=self.cfg.MESH_DEVICES,
+                    )
+        return entry["sharded"]
+
+    def _entry_ivf(self, entry, reader):
+        if "ivf" not in entry:
+            with entry["lock"]:
                 if "ivf" not in entry:
                     from .index.ivf import IVFIndex
 
@@ -396,7 +402,36 @@ class SearchEngine:
                         except OSError:
                             pass  # persistence is an optimization only
                     entry["ivf"] = ivf
-                scores, idx = entry["ivf"].search(
+        return entry["ivf"]
+
+    def _execute_search_batch(self, folder: str, queries: np.ndarray, k: int):
+        """One batched device dispatch over a folder's cached corpus
+        (single-device matrix or sharded mesh, per the resolved kernel)."""
+        from .index.search import exact_search_batch
+
+        entry, reader = self._cached_index(folder)
+        if reader is None:
+            raise LookupError("Folder not indexed")
+        k = min(k, reader.count)
+        if self._resolve_kernel() == "sharded":
+            return self._entry_sharded(entry, reader).search_batch(queries, k)
+        return exact_search_batch(self._entry_emb(entry, reader), queries, k)
+
+    def search_embedding(self, folder: str, query: np.ndarray, k: int):
+        """Top-k over a folder's index. Returns (scores, indices, reader)
+        or None when the folder isn't indexed."""
+        import jax.numpy as jnp
+
+        entry, reader = self._cached_index(folder)
+        if reader is None:
+            return None
+        k = min(k, reader.count)
+        if k == 0:
+            return np.zeros((0,), np.float32), np.zeros((0,), np.int64), reader
+        query = query.astype(np.float32)
+        with self.timers.stage("search"):
+            if self.cfg.INDEX_KIND == "ivf":
+                scores, idx = self._entry_ivf(entry, reader).search(
                     query, k, nprobe=self.cfg.IVF_NPROBE
                 )
             else:
@@ -410,31 +445,23 @@ class SearchEngine:
 
                     scores, idx = exact_search_host_reader(reader, query, k)
                 elif kernel == "sharded":
-                    if "sharded" not in entry:
-                        from .parallel import ShardedIndex
-
-                        entry["sharded"] = ShardedIndex.from_matrix(
-                            np.asarray(reader.embeddings()),
-                            n_devices=self.cfg.MESH_DEVICES,
-                        )
-                    scores, idx = entry["sharded"].search(query, k)
+                    scores, idx = self._entry_sharded(entry, reader).search(
+                        query, k
+                    )
                 else:
-                    if "emb" not in entry:
-                        entry["emb"] = jnp.asarray(
-                            np.asarray(reader.embeddings())
-                        )
+                    emb = self._entry_emb(entry, reader)
                     if kernel == "pallas":
                         import jax
 
                         from .ops import fused_topk
 
                         s, i = fused_topk(
-                            entry["emb"], jnp.asarray(query), k,
+                            emb, jnp.asarray(query), k,
                             interpret=jax.default_backend() == "cpu",
                         )
                         scores, idx = np.asarray(s), np.asarray(i)
                     else:  # xla
-                        scores, idx = exact_search(entry["emb"], query, k)
+                        scores, idx = exact_search(emb, query, k)
         self.counters.add("queries")
         return scores, idx, reader
 
@@ -446,4 +473,25 @@ class SearchEngine:
         return self.search_embedding(folder, emb, k)
 
     def is_indexed(self, folder: str) -> bool:
+        """Authoritative check (full validated open; may migrate legacy)."""
         return self.open_index(folder) is not None
+
+    def is_indexed_fast(self, folder: str) -> bool:
+        """Cache-backed check for hot request paths: a manifest stat on
+        cache hits instead of the O(corpus) validated open."""
+        _, reader = self._cached_index(folder)
+        if reader is not None:
+            return True
+        # cache miss AND no manifest: maybe an unmigrated legacy index
+        return self.cfg.MIGRATE_LEGACY and self.is_indexed(folder)
+
+    def index_paths(self, folder: str) -> frozenset[str] | None:
+        """Set of absolute paths currently in a folder's index (cached)."""
+        entry, reader = self._cached_index(folder)
+        if reader is None:
+            return None
+        if "pathset" not in entry:
+            with entry["lock"]:
+                if "pathset" not in entry:
+                    entry["pathset"] = frozenset(reader.paths)
+        return entry["pathset"]

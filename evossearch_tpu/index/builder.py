@@ -128,6 +128,7 @@ def build_index(
         flush()
 
     if writer.count == 0:
+        writer.abandon()  # no empty staging-dir litter (review finding)
         return 0
     writer.finalize()
     log.info("indexed %d images in %s", writer.count, folder)

@@ -158,7 +158,13 @@ def exact_search(emb, query: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray
     if k == 0:
         return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
     if n >= _FAST_PATH_MIN_ROWS and k <= 128:
-        s, i = _searched_with_fallback(emb, np.asarray(query)[None, :], k)
+        # index with [None, :] rather than np.asarray so a device-resident
+        # query stays on device (np.asarray would be a blocking fetch)
+        query_2d = (
+            query[None, :] if getattr(query, "ndim", None) == 1
+            else np.asarray(query, np.float32)[None, :]
+        )
+        s, i = _searched_with_fallback(emb, query_2d, k)
         return s[0], i[0]
     scores, idx = _topk_matvec(jnp.asarray(emb), jnp.asarray(query), k)
     return np.asarray(scores), np.asarray(idx)
@@ -224,6 +230,6 @@ def exact_search_batch(emb, queries: np.ndarray, k: int):
         q = np.asarray(queries).shape[0]
         return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
     if n >= _FAST_PATH_MIN_ROWS and k <= 128:
-        return _searched_with_fallback(emb, np.asarray(queries), k)
+        return _searched_with_fallback(emb, queries, k)
     scores, idx = _topk_batch(jnp.asarray(emb), jnp.asarray(queries), k)
     return np.asarray(scores), np.asarray(idx)

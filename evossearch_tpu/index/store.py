@@ -52,6 +52,28 @@ def index_dir(folder: str | os.PathLike, index_folder_name: str = ".clip_index")
     return Path(folder) / index_folder_name
 
 
+def _recover_interrupted_swap(final_root: Path) -> None:
+    """Complete or roll back a publish interrupted between its two renames.
+
+    finalize()'s swap is two renames (live -> .old, staging -> live); a
+    crash in between leaves no live dir. Recovery: a staging dir that
+    already has its manifest was fully written — promote it; otherwise
+    restore the saved .old. Without this, the next finalize() would rmtree
+    the .old that holds the only surviving copy.
+    """
+    if final_root.exists():
+        return
+    tmp = final_root.with_name(final_root.name + ".tmp")
+    old = final_root.with_name(final_root.name + ".old")
+    try:
+        if (tmp / "manifest.json").exists():
+            tmp.rename(final_root)
+        elif old.exists():
+            old.rename(final_root)
+    except OSError:
+        pass
+
+
 @dataclass
 class IndexWriter:
     """Append-only shard writer; ``finalize()`` atomically publishes.
@@ -86,6 +108,7 @@ class IndexWriter:
         index_folder_name: str = ".clip_index",
     ) -> "IndexWriter":
         final_root = index_dir(folder, index_folder_name)
+        _recover_interrupted_swap(final_root)
         root = final_root.with_name(final_root.name + ".tmp")
         if root.exists():
             shutil.rmtree(root)
@@ -196,6 +219,12 @@ class IndexWriter:
         except Exception:
             return None
 
+    def abandon(self) -> None:
+        """Discard the staging dir (e.g. the folder had no images) so empty
+        .clip_index.tmp dirs don't litter user folders."""
+        if self.root.exists():
+            shutil.rmtree(self.root, ignore_errors=True)
+
     def finalize(self) -> None:
         if self._open_count:
             self._flush_shard(self._open_count)
@@ -247,6 +276,7 @@ class IndexReader:
         """Open an index; returns None on ANY failure (reference
         load_index semantics, oldapp.py:108-135)."""
         root = index_dir(folder, index_folder_name)
+        _recover_interrupted_swap(root)
         try:
             manifest = json.loads((root / "manifest.json").read_text())
             if manifest["version"] > FORMAT_VERSION:

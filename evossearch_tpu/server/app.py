@@ -142,12 +142,13 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
             abs_path = os.path.abspath(filepath)
             if not os.path.exists(abs_path) or not os.path.isfile(abs_path):
                 return html_response("Image not found", 404)
-            # Only serve files living in a folder with a REAL index (a
-            # manifest, not just the marker dir — POST /comments creates
-            # the directory in arbitrary folders, which must not unlock
-            # file serving there).
-            parent = Path(abs_path).parent
-            if not (parent / cfg.INDEX_FOLDER_NAME / "manifest.json").is_file():
+            # Serve ONLY files that are rows of an index: anyone who can
+            # POST can index a folder, so "folder has an index" alone would
+            # still expose non-image files (dotfiles, configs) in indexed
+            # folders. Membership in the indexed path set is the contract
+            # the frontend needs (it only requests result paths).
+            paths = engine.index_paths(str(Path(abs_path).parent))
+            if paths is None or abs_path not in paths:
                 return html_response("Access denied", 403)
             return send_file(abs_path)
         except Exception as e:
@@ -267,7 +268,7 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
                  folder, query, limit, sort_by)
         if not folder or not query:
             return jsonify({"error": "Missing folder or query"}, 400)
-        if not engine.is_indexed(folder):
+        if not engine.is_indexed_fast(folder):
             return jsonify({"error": "Folder not indexed"}, 400)
         try:
             result = engine.search_text(folder, query, limit)
@@ -296,7 +297,7 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
             file = None
         if file is None and not image_path:
             return jsonify({"error": "No image uploaded or path provided"}, 400)
-        if not engine.is_indexed(folder):
+        if not engine.is_indexed_fast(folder):
             return jsonify({"error": "Folder not indexed"}, 400)
         try:
             from PIL import Image
@@ -367,6 +368,16 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
                 if field not in data:
                     return jsonify(
                         {"success": False, "error": f"Missing required field: {field}"},
+                        400,
+                    )
+            # String values are interpolated into the generated .env; a
+            # newline would inject arbitrary EVOSSEARCH_* keys parsed at
+            # the next startup.
+            for key, value in data.items():
+                if isinstance(value, str) and ("\n" in value or "\r" in value):
+                    return jsonify(
+                        {"success": False,
+                         "error": f"Invalid value for {key}: newlines not allowed"},
                         400,
                     )
             try:

@@ -48,16 +48,34 @@ def clip_loss(params, images, tokens, spec, compute_dtype=jnp.float32,
     return 0.5 * (loss_i.mean() + loss_t.mean())
 
 
+# Param leaf names excluded from weight decay (CLIP/AdamW convention: no
+# decay on gains or biases; logit_scale is a temperature, not a weight).
+_NO_DECAY_NAMES = frozenset(
+    {"scale", "bias", "bqkv", "bo", "b1", "b2", "class_embedding",
+     "logit_scale"}
+)
+
+
+def decay_mask(params) -> dict:
+    """True where AdamW weight decay applies (kernels/embeddings only)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: getattr(path[-1], "key", path[-1])
+        not in _NO_DECAY_NAMES,
+        params,
+    )
+
+
 def make_optimizer(
     learning_rate: float = 1e-5, weight_decay: float = 0.2,
     b1: float = 0.9, b2: float = 0.98, eps: float = 1e-6,
     grad_clip: float = 1.0,
 ) -> optax.GradientTransformation:
-    """AdamW with the CLIP-paper hyperparameter shape."""
+    """AdamW with the CLIP-paper hyperparameter shape; decay masked off
+    LayerNorm gains, biases, and logit_scale (CLIP convention)."""
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
-                    weight_decay=weight_decay),
+                    weight_decay=weight_decay, mask=decay_mask),
     )
 
 
