@@ -472,6 +472,15 @@ class SearchEngine:
         emb = self.encode_images([pil_image])[0]
         return self.search_embedding(folder, emb, k)
 
+    def warmup(self) -> None:
+        """Compile the hot paths before serving (text encode + fused
+        preprocess/encode on a small canvas), so the first user request
+        doesn't pay the multi-second XLA compile."""
+        with self.timers.stage("warmup"):
+            self.encode_text("warmup")
+            self.encode_images([np.zeros((64, 64, 3), np.uint8)])
+        log.info("engine warmed up (text + image paths compiled)")
+
     def is_indexed(self, folder: str) -> bool:
         """Authoritative check (full validated open; may migrate legacy)."""
         return self.open_index(folder) is not None

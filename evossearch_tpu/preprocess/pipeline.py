@@ -115,6 +115,9 @@ def prepare_batch(
     the unique-size count U pads to a power of two (repeating row 0). A
     homogeneous batch still ships one matrix pair and a near-tight canvas.
     """
+    for a in arrays:
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError(f"expected (H, W, 3) uint8 images, got {a.shape}")
     shrunk = [
         _host_shrink(a, max_side, target)
         if a.shape[0] > max_side or a.shape[1] > max_side else a

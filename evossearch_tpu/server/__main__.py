@@ -24,6 +24,7 @@ def main() -> None:
 
     engine = SearchEngine(cfg=config)
     _ = engine.params  # load/initialize model weights up front (init_clip analog)
+    engine.warmup()  # compile text/image paths before accepting requests
     app = create_app(engine=engine, cfg=config)
     config.print_startup_info()
     serve(app, config.HOST, config.PORT, debug=config.DEBUG)
