@@ -165,6 +165,17 @@ def bench_encode() -> None:
 
 
 def main() -> None:
+    # Watchdog: a wedged TPU claim (see CLAUDE.md) would otherwise hang the
+    # whole benchmark forever; fail loudly instead so the harness moves on.
+    import signal
+
+    def _timeout(signum, frame):
+        log("bench watchdog: TPU unresponsive for 540s, aborting")
+        sys.exit(1)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(540)
+
     for extra in (bench_encode, bench_encode_l14, bench_search_10m):
         try:
             extra()
