@@ -18,7 +18,6 @@ from __future__ import annotations
 import functools
 import threading
 from collections import OrderedDict
-from pathlib import Path
 
 import numpy as np
 
@@ -38,6 +37,16 @@ def _bucket(n: int, cap: int) -> int:
     while b < n and b < cap:
         b <<= 1
     return min(b, cap)
+
+
+def _canon(folder: str) -> str:
+    """Canonical cache/lock key for a folder: two clients naming the same
+    physical directory differently (relative vs absolute, `a/../b`,
+    symlinks) must take the same per-folder lock and cache slot, or the
+    serialization those locks provide is defeated."""
+    import os
+
+    return os.path.realpath(folder)
 
 
 class SearchEngine:
@@ -250,14 +259,12 @@ class SearchEngine:
                 decode_short_side=2 * self.spec.image_size,
             )
         with self._cache_lock:
-            self._index_cache.pop(str(Path(folder)), None)
+            self._index_cache.pop(_canon(folder), None)
         return count
 
     def _folder_lock(self, folder: str) -> threading.Lock:
         with self._cache_lock:
-            return self._folder_locks.setdefault(
-                str(Path(folder)), threading.Lock()
-            )
+            return self._folder_locks.setdefault(_canon(folder), threading.Lock())
 
     def open_index(self, folder: str) -> IndexReader | None:
         reader = IndexReader.open(folder, self.cfg.INDEX_FOLDER_NAME)
@@ -290,7 +297,7 @@ class SearchEngine:
         """
         from .index.store import index_dir
 
-        key = str(Path(folder))
+        key = _canon(folder)
         # Invalidation token is a cheap manifest stat — a full
         # IndexReader.open re-parses O(corpus) JSON and must only happen on
         # miss/change, not per query.
@@ -437,9 +444,7 @@ class SearchEngine:
             else:
                 kernel = self._resolve_kernel()
                 if kernel in ("xla", "sharded") and self._batcher is not None:
-                    scores, idx = self._batcher.submit(
-                        str(Path(folder)), query, k
-                    )
+                    scores, idx = self._batcher.submit(_canon(folder), query, k)
                 elif kernel == "host":
                     from .index.search import exact_search_host_reader
 

@@ -60,16 +60,30 @@ def _recover_interrupted_swap(final_root: Path) -> None:
     already has its manifest was fully written — promote it; otherwise
     restore the saved .old. Without this, the next finalize() would rmtree
     the .old that holds the only surviving copy.
+
+    Recovery runs under the same cross-process lock finalize() holds for
+    the swap, so a concurrent open() during a LIVE publish cannot mistake
+    the mid-swap state for a crash and promote the staging dir out from
+    under finalize. The lock is only taken when recovery actually looks
+    necessary — the common open() of a healthy or never-indexed folder
+    must not create lock files in arbitrary (possibly read-only) folders.
     """
     if final_root.exists():
         return
     tmp = final_root.with_name(final_root.name + ".tmp")
     old = final_root.with_name(final_root.name + ".old")
+    if not (tmp / "manifest.json").exists() and not old.exists():
+        return
+    from .comments import comments_lock
+
     try:
-        if (tmp / "manifest.json").exists():
-            tmp.rename(final_root)
-        elif old.exists():
-            old.rename(final_root)
+        with comments_lock(final_root.parent, final_root.name):
+            if final_root.exists():
+                return  # a concurrent finalize/recovery won the race
+            if (tmp / "manifest.json").exists():
+                tmp.rename(final_root)
+            elif old.exists():
+                old.rename(final_root)
     except OSError:
         pass
 
@@ -247,7 +261,14 @@ class IndexWriter:
                 if comments.exists():
                     shutil.copy2(comments, self.root / "comments.json")
                 self.final_root.rename(old)
-            self.root.rename(self.final_root)
+            try:
+                self.root.rename(self.final_root)
+            except OSError:
+                # Belt-and-braces: if someone promoted our fully-written
+                # staging dir already (pre-lock recovery code, external
+                # tooling), the publish still succeeded — don't 500.
+                if not (self.final_root / "manifest.json").exists():
+                    raise
         if old.exists():
             shutil.rmtree(old)
 

@@ -69,7 +69,12 @@ def _validated_limit(raw, cfg: Config) -> int:
 def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) -> App:
     cfg = cfg or default_config
     engine = engine or SearchEngine(cfg=cfg)
-    app = App("evossearch-tpu")
+    # +1 MiB headroom over the configured max upload for multipart framing
+    # and form fields.
+    app = App(
+        "evossearch-tpu",
+        max_body_bytes=cfg.MAX_FILE_SIZE_MB * 1024 * 1024 + 1024 * 1024,
+    )
     app.engine = engine  # exposed for tests
     app.cfg = cfg
 

@@ -211,9 +211,17 @@ def _compile_rule(rule: str) -> re.Pattern:
 class App:
     """WSGI application with Flask-like routing and permissive CORS."""
 
-    def __init__(self, name: str = "app", cors: bool = True):
+    def __init__(
+        self, name: str = "app", cors: bool = True,
+        max_body_bytes: int | None = None,
+    ):
         self.name = name
         self.cors = cors
+        # Reject oversized bodies BEFORE reading them: this is a threaded
+        # first-party server with permissive CORS, so trusting the client's
+        # Content-Length unbounded is a one-request OOM. (The reference had
+        # the MAX_FILE_SIZE_MB knob but never enforced it; we do.)
+        self.max_body_bytes = max_body_bytes
         self._routes: list[tuple[re.Pattern, set[str], object]] = []
 
     def route(self, rule: str, methods: tuple[str, ...] = ("GET",)):
@@ -254,6 +262,13 @@ class App:
 
     def __call__(self, environ, start_response):
         try:
+            if self.max_body_bytes is not None:
+                try:
+                    length = int(environ.get("CONTENT_LENGTH") or 0)
+                except ValueError:
+                    length = 0
+                if length > self.max_body_bytes:
+                    raise HTTPError(413, "Request body too large")
             request = Request(environ)
             response = self._dispatch(request)
         except HTTPError as e:
