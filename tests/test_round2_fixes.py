@@ -144,3 +144,32 @@ def test_finalize_tolerates_stolen_second_rename(tmp_path, monkeypatch):
     reader = IndexReader.open(tmp_path)
     assert reader is not None and reader.count == 2
     assert not (tmp_path / ".clip_index.old").exists()
+
+
+def test_stage_timer_percentiles():
+    # VERDICT round 1 item 8: /stats must expose query latency percentiles.
+    from evossearch_tpu.utils import StageTimer
+
+    t = StageTimer()
+    for _ in range(200):
+        with t.stage("search"):
+            pass
+    snap = t.snapshot()["search"]
+    assert snap["count"] == 200
+    assert 0 <= snap["p50_ms"] <= snap["p99_ms"]
+    assert snap["window"] == 200
+
+
+def test_stats_route_exposes_percentiles(app_client, tmp_path):
+    client, app, _ = app_client
+    _mk_images(tmp_path)
+    r = client.post("/index", json_body={"folder": str(tmp_path)})
+    assert r.status_code == 200, r.data
+    r = client.post(
+        "/search",
+        json_body={"folder": str(tmp_path), "query": "cat", "limit": 3},
+    )
+    assert r.status_code == 200
+    stats = client.get("/stats").json
+    assert "p50_ms" in stats["stage_timers"]["search"]
+    assert "p99_ms" in stats["stage_timers"]["search"]
