@@ -20,9 +20,10 @@ merge table is supplied via EVOSSEARCH_BPE_VOCAB.
 
 Text cleaning: the upstream tokenizer applies ``ftfy.fix_text`` (mojibake
 repair) + double ``html.unescape`` + whitespace collapse + lowercase. ftfy is
-not available here; its effect is approximated with NFC normalization, which
-is a no-op on already-well-formed text (the overwhelmingly common case for
-search queries).
+not available here; its dominant repair class — UTF-8 bytes misdecoded as
+cp1252/latin-1, including ftfy's "sloppy cp1252" handling of the five
+undefined bytes — is reimplemented in ``_fix_mojibake``, plus NFC
+normalization. Well-formed text is untouched (the strict round-trip gate).
 """
 
 from __future__ import annotations
@@ -71,7 +72,59 @@ def bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+# Chars covering every possible UTF-8 lead byte (0xC0-0xF7) as misdecoded
+# by cp1252/latin-1. Cheap gate: plain text skips the repair attempt.
+_MOJIBAKE_HINT = re.compile("[\u00c0-\u00f7]")
+
+
+@functools.lru_cache(maxsize=1)
+def _sloppy_cp1252() -> dict[str, int]:
+    """char -> byte table for ftfy's "sloppy windows-1252": the 5 bytes
+    cp1252 leaves undefined (81, 8D, 8F, 90, 9D) map to the matching C1
+    control codepoints, because real-world mojibake produced by lenient
+    decoders contains exactly those."""
+    table: dict[str, int] = {}
+    for b in range(256):
+        try:
+            ch = bytes([b]).decode("cp1252")
+        except UnicodeDecodeError:
+            ch = chr(b)
+        table[ch] = b
+    return table
+
+
+def _fix_mojibake(text: str) -> str:
+    """Undo UTF-8-bytes-read-as-cp1252/latin-1 (repairs the likes of
+    A-tilde+copyright back to e-acute, and cp1252 smart-quote mojibake).
+
+    This is the dominant repair class of upstream ftfy (applied by CLIP's
+    `basic_clean`; ftfy itself is not in this image). The repair only
+    rewrites when the ENTIRE string re-encodes losslessly and re-decodes as
+    strictly valid UTF-8 — for natural text that round-trip essentially
+    only succeeds on genuine mojibake ("São Paulo" re-encodes to latin-1
+    fine but E3 6F is invalid UTF-8, so it is left untouched). Applied up
+    to 3 times for doubly-encoded input, like ftfy's fixed point.
+    """
+    table = _sloppy_cp1252()
+    for _ in range(3):
+        if not _MOJIBAKE_HINT.search(text):
+            break
+        candidate = None
+        try:
+            candidate = bytes(table[c] for c in text).decode("utf-8")
+        except (KeyError, UnicodeDecodeError):
+            try:  # latin-1-flavored mojibake (raw C1 controls in the text)
+                candidate = text.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                pass
+        if candidate is None or candidate == text:
+            break
+        text = candidate
+    return text
+
+
 def _clean_text(text: str) -> str:
+    text = _fix_mojibake(text)
     text = unicodedata.normalize("NFC", text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)

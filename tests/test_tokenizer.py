@@ -106,3 +106,89 @@ def test_openai_and_hf_loaders_agree(tmp_path):
     b = CLIPTokenizer(load_hf_merges(tmp_path))
     assert a.encode("hello") == b.encode("hello")
     assert a.encoder["hell"] == 512 + 2
+
+
+# -- round 2: algorithm parity vs an independent implementation + golden
+#    fixtures (VERDICT round 1, item 9) --
+
+SYNTHETIC_MERGES = [
+    ("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o</w>"),
+    ("w", "o"), ("wo", "r"), ("wor", "l"), ("worl", "d</w>"),
+    ("c", "a"), ("ca", "t</w>"), ("1", "2</w>"),
+]
+
+# Pinned golden token-id sequences under SYNTHETIC_MERGES — independently
+# cross-checked against transformers.CLIPTokenizer built from the same
+# vocab/merges files (see test_id_parity_vs_transformers_oracle).
+GOLDEN = {
+    "hello world": [515, 519],
+    "Hello, World!": [515, 267, 519, 256],
+    "a cat & 12 dogs": [320, 521, 261, 272, 273, 67, 78, 70, 338],
+    "hellohello": [514, 78, 515],
+    "the cathedral": [83, 71, 324, 520, 83, 512, 67, 81, 64, 331],
+    "don't worry": [67, 78, 333, 6, 339, 517, 81, 344],
+    "12 12 12": [272, 273, 272, 273, 272, 273],
+}
+
+
+def test_golden_fixture_ids():
+    tok = CLIPTokenizer(SYNTHETIC_MERGES)
+    for text, want in GOLDEN.items():
+        assert tok.encode(text) == want, text
+
+
+def test_id_parity_vs_transformers_oracle(tmp_path):
+    """Token-id parity against transformers' independent CLIP BPE
+    implementation, constructed offline from the same synthetic table —
+    pins the word-split regex, merge loop, and id layout all at once."""
+    import json
+
+    hf_tok = pytest.importorskip("transformers").CLIPTokenizer
+    ours = CLIPTokenizer(SYNTHETIC_MERGES)
+    vocab_file = tmp_path / "vocab.json"
+    merges_file = tmp_path / "merges.txt"
+    vocab_file.write_text(json.dumps(ours.encoder))
+    merges_file.write_text(
+        "#version: 0.2\n"
+        + "\n".join(" ".join(p) for p in SYNTHETIC_MERGES) + "\n"
+    )
+    hf = hf_tok(str(vocab_file), str(merges_file))
+    # NB: html-escaped input ("a&amp;b") is deliberately absent: upstream
+    # clip.tokenize html-unescapes (we match it, see
+    # test_cleaning_lowercases_and_collapses_whitespace) while transformers'
+    # no-ftfy fallback does not — the oracle diverges from OpenAI there.
+    texts = list(GOLDEN) + [
+        "  spaces   everywhere ", "MiXeD CaSe", "...!!!...",
+        "hello's world'll", "cat12cat",
+    ]
+    for t in texts:
+        assert ours.encode(t) == hf.encode(t, add_special_tokens=False), t
+
+
+def test_mojibake_repair():
+    """ftfy's dominant repair class: UTF-8 read as cp1252/latin-1."""
+    from evossearch_tpu.tokenizer.bpe import _fix_mojibake
+
+    cases = {
+        "Ã©tÃ©": "été",
+        "naÃ¯ve cafÃ©": "naïve café",
+        "â€œquotesâ€\x9d": "“quotes”",  # sloppy-cp1252 smart quotes
+        "donâ€™t": "don’t",
+        "ÃƒÂ©": "é",        # doubly-encoded
+        "ðŸ˜€": "😀",        # 4-byte (emoji)
+    }
+    for raw, fixed in cases.items():
+        assert _fix_mojibake(raw) == fixed, raw
+
+
+def test_mojibake_leaves_wellformed_text_alone():
+    from evossearch_tpu.tokenizer.bpe import _fix_mojibake
+
+    for text in ["São Paulo", "résumé", "hello world", "東京 café ☕",
+                 "Ärger über Öl", "ñandú"]:
+        assert _fix_mojibake(text) == text, text
+
+
+def test_mojibake_queries_tokenize_like_clean_ones():
+    tok = CLIPTokenizer(SYNTHETIC_MERGES)
+    assert tok.encode("cafÃ© cat") == tok.encode("café cat")
