@@ -108,6 +108,10 @@ class Config:
         self.SHARD_SIZE = _env_int("EVOSSEARCH_SHARD_SIZE", str(1 << 20))
         # Number of mesh devices to shard the corpus over (0 = all available).
         self.MESH_DEVICES = _env_int("EVOSSEARCH_MESH_DEVICES", "0")
+        # Data-parallel indexing encode: shard each image batch over the
+        # device mesh (>1 device). Per-image math is independent, so
+        # results match single-device; disable to pin encode to one chip.
+        self.DP_ENCODE = _env_bool("EVOSSEARCH_DP_ENCODE", "True")
         # Native DCT-scaled JPEG decode for indexing (up to ~8x cheaper
         # decode of large photos); disable for bit-parity with PIL decode.
         self.FAST_DECODE = _env_bool("EVOSSEARCH_FAST_DECODE", "True")

@@ -157,19 +157,44 @@ class SearchEngine:
 
         return fn
 
+    @functools.cached_property
+    def _encode_sharding(self):
+        """Batch-axis NamedSharding for data-parallel indexing encode, or
+        None on a single device. SURVEY §2 parallelism row 1: shard image
+        batches across the mesh for indexing throughput — each device
+        encodes 1/n of every batch, params are replicated by XLA."""
+        import jax
+
+        devices = jax.devices()
+        if len(devices) <= 1 or not self.cfg.DP_ENCODE:
+            return None
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.array(devices), ("data",))
+        return NamedSharding(mesh, PartitionSpec("data"))
+
     def encode_prepared(
         self, canvases: np.ndarray, a_h_u: np.ndarray, a_w_u: np.ndarray,
         size_idx: np.ndarray,
     ) -> np.ndarray:
         """Host-prepared batch (canvases + unique-size resample matrices +
         per-image size index) -> (B, embed_dim) embeddings via the fused
-        program; pads the batch to a bucket size."""
+        program; pads the batch to a bucket size. With >1 device the batch
+        axis is sharded across the mesh (per-image math is independent, so
+        sharded results are identical to single-device)."""
+        import jax
+
         n = canvases.shape[0]
         if n == 0:
             return np.zeros((0, self.spec.embed_dim), np.float32)
         b = _bucket(n, max(self.cfg.BATCH_SIZE, 1))
-        if n < b:
-            pad = b - n
+        sharding = self._encode_sharding
+        if sharding is not None:
+            ndev = len(sharding.mesh.devices)
+            if b % ndev:  # pad the bucket so every device gets equal rows
+                b = -(-b // ndev) * ndev
+        if n < b or canvases.shape[0] % b:
+            pad = -(-canvases.shape[0] // b) * b - canvases.shape[0]
             canvases = np.concatenate(
                 [canvases, np.zeros((pad,) + canvases.shape[1:], canvases.dtype)]
             )
@@ -178,10 +203,13 @@ class SearchEngine:
         with self.timers.stage("prep_encode"):
             for start in range(0, canvases.shape[0], b):
                 sl = slice(start, start + b)
+                batch = canvases[sl]
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
                 out.append(
                     np.asarray(
                         self._jit_prep_encode(
-                            self.params, canvases[sl], a_h_u, a_w_u, size_idx[sl]
+                            self.params, batch, a_h_u, a_w_u, size_idx[sl]
                         )
                     )
                 )
@@ -413,22 +441,24 @@ class SearchEngine:
 
     def _execute_search_batch(self, folder: str, queries: np.ndarray, k: int):
         """One batched device dispatch over a folder's cached corpus
-        (single-device matrix or sharded mesh, per the resolved kernel)."""
-        from .index.search import exact_search_batch
+        (single-device matrix, Pallas one-pass kernel, or sharded mesh,
+        per the resolved kernel)."""
+        from .index.search import exact_search_batch, pallas_search_batch
 
         entry, reader = self._cached_index(folder)
         if reader is None:
             raise LookupError("Folder not indexed")
         k = min(k, reader.count)
-        if self._resolve_kernel() == "sharded":
+        kernel = self._resolve_kernel()
+        if kernel == "sharded":
             return self._entry_sharded(entry, reader).search_batch(queries, k)
+        if kernel == "pallas":
+            return pallas_search_batch(self._entry_emb(entry, reader), queries, k)
         return exact_search_batch(self._entry_emb(entry, reader), queries, k)
 
     def search_embedding(self, folder: str, query: np.ndarray, k: int):
         """Top-k over a folder's index. Returns (scores, indices, reader)
         or None when the folder isn't indexed."""
-        import jax.numpy as jnp
-
         entry, reader = self._cached_index(folder)
         if reader is None:
             return None
@@ -443,7 +473,10 @@ class SearchEngine:
                 )
             else:
                 kernel = self._resolve_kernel()
-                if kernel in ("xla", "sharded") and self._batcher is not None:
+                if (
+                    kernel in ("xla", "sharded", "pallas")
+                    and self._batcher is not None
+                ):
                     scores, idx = self._batcher.submit(_canon(folder), query, k)
                 elif kernel == "host":
                     from .index.search import exact_search_host_reader
@@ -453,20 +486,19 @@ class SearchEngine:
                     scores, idx = self._entry_sharded(entry, reader).search(
                         query, k
                     )
-                else:
-                    emb = self._entry_emb(entry, reader)
-                    if kernel == "pallas":
-                        import jax
+                elif kernel == "pallas":
+                    from .index.search import pallas_search_batch
 
-                        from .ops import fused_topk
-
-                        s, i = fused_topk(
-                            emb, jnp.asarray(query), k,
-                            interpret=jax.default_backend() == "cpu",
-                        )
-                        scores, idx = np.asarray(s), np.asarray(i)
-                    else:  # xla
-                        scores, idx = exact_search(emb, query, k)
+                    # query[None, :] keeps a device-resident embedding on
+                    # device (np.asarray would be a blocking fetch)
+                    s, i = pallas_search_batch(
+                        self._entry_emb(entry, reader), query[None, :], k
+                    )
+                    scores, idx = s[0], i[0]
+                else:  # xla
+                    scores, idx = exact_search(
+                        self._entry_emb(entry, reader), query, k
+                    )
         self.counters.add("queries")
         return scores, idx, reader
 

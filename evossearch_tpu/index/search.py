@@ -33,6 +33,18 @@ _BLOCK = 4096
 _FAST_PATH_MIN_ROWS = 1 << 18
 
 
+def _score_precision(emb: jax.Array):
+    """Score-matmul precision shared by every device kernel: HIGHEST
+    (bf16x3, f32-faithful) for f32 corpora so the XLA and Pallas paths
+    compute bit-identical scores and therefore identical rankings; DEFAULT
+    for bf16 corpora (native MXU f32 accumulation — nothing to choose)."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if emb.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def _overfetch(k: int) -> int:
     """ApproxTopK candidate count. Swept on v5e at 1M rows: c=64/rt=0.999
     runs ~5x faster than c=256 AND certifies more often (fewer candidates
@@ -99,7 +111,8 @@ def _certified_topk(scores: jax.Array, k: int):
 @functools.partial(jax.jit, static_argnames=("k",))
 def _fast_topk_batch(emb: jax.Array, queries: jax.Array, k: int):
     scores = jnp.dot(
-        queries.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
+        queries.astype(emb.dtype), emb.T,
+        preferred_element_type=jnp.float32, precision=_score_precision(emb),
     )
     return _certified_topk(scores, k)
 
@@ -141,7 +154,8 @@ def _searched_with_fallback(emb, queries: np.ndarray, k: int):
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_matvec(emb: jax.Array, query: jax.Array, k: int):
     scores = jnp.dot(
-        emb, query.astype(emb.dtype), preferred_element_type=jnp.float32
+        emb, query.astype(emb.dtype),
+        preferred_element_type=jnp.float32, precision=_score_precision(emb),
     )
     return blocked_top_k(scores, k)
 
@@ -173,7 +187,8 @@ def exact_search(emb, query: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_batch(emb: jax.Array, queries: jax.Array, k: int):
     scores = jnp.dot(
-        queries.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
+        queries.astype(emb.dtype), emb.T,
+        preferred_element_type=jnp.float32, precision=_score_precision(emb),
     )
     return jax.vmap(lambda s: blocked_top_k(s, k))(scores)
 
@@ -220,6 +235,63 @@ def exact_search_host_reader(reader, query: np.ndarray, k: int):
     cand_i = np.concatenate(best_i)
     order = np.lexsort((cand_i, -cand_s))[:k]
     return cand_s[order], cand_i[order]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _pallas_topk_packed(emb: jax.Array, queries: jax.Array, k: int,
+                        interpret: bool = False):
+    """Pallas one-pass kernel + packed (Q, 2k+1) f32 result:
+    [scores | bitcast(indices) | ok] — one device->host fetch."""
+    from ..ops.topk_pallas import fused_topk_batch
+
+    ok, s, i = fused_topk_batch(emb, queries, k, interpret=interpret)
+    return jnp.concatenate(
+        [
+            s,
+            jax.lax.bitcast_convert_type(i, jnp.float32),
+            ok[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def pallas_search_batch(emb, queries: np.ndarray, k: int):
+    """Exact batched top-k via the Pallas one-pass kernel.
+
+    Certified-exact per query; the rare uncertified rows (adversarial mass
+    ties, or corpora too small for the kernel's block-candidate scheme —
+    which the engine routes elsewhere anyway) fall back to the exact XLA
+    path. Delegates entirely to exact_search_batch when the kernel's shape
+    contract (d % 128 == 0, k <= 128) doesn't hold.
+    """
+    n, d = emb.shape
+    k = min(k, n)
+    if d % 128 or k > 128 or n < 512:
+        return exact_search_batch(emb, queries, k)
+    if k == 0:
+        q = np.asarray(queries).shape[0]
+        return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
+    emb = jnp.asarray(emb)
+    queries_d = jnp.asarray(queries, dtype=jnp.float32)
+    interpret = jax.default_backend() == "cpu"
+    outs = []
+    for start in range(0, queries_d.shape[0], 128):  # kernel cap: 128 lanes
+        outs.append(
+            np.asarray(
+                _pallas_topk_packed(
+                    emb, queries_d[start : start + 128], k, interpret
+                )
+            )
+        )
+    packed = np.concatenate(outs, axis=0)
+    s = packed[:, :k].copy()
+    i = np.ascontiguousarray(packed[:, k : 2 * k]).view(np.int32).copy()
+    ok = packed[:, -1] > 0
+    if not ok.all():
+        slow_s, slow_i = _topk_batch(emb, queries_d[np.flatnonzero(~ok)], k)
+        s[~ok] = np.asarray(slow_s)
+        i[~ok] = np.asarray(slow_i)
+    return s, i
 
 
 def exact_search_batch(emb, queries: np.ndarray, k: int):

@@ -1,18 +1,36 @@
-"""Pallas TPU kernel: fused L2-normalize(query) + GEMM + streaming top-k.
+"""Pallas TPU kernels: fused GEMM + top-k search over an embedding matrix.
 
 Replaces the FAISS IndexFlatIP scan (reference oldapp.py:87/2005) at the
-kernel level. The embedding matrix streams HBM -> VMEM tile by tile (Pallas
-double-buffers the grid automatically); each tile's scores are computed on
-the MXU and folded into a running top-k kept entirely in VMEM — the
-million-element score vector is never materialized in HBM.
+kernel level. Two kernels:
 
-Exactness: guaranteed. A tile is merged only when its max score beats the
-current k-th best (the common case after the first few tiles is a cheap
-skip); the merge itself is a k-step selection with the same tie contract as
-the rest of the framework (equal scores -> lowest global index).
+``fused_topk``       — single-query streaming exact top-k (running top-k
+                       buffer in VMEM, tile-skip when a tile can't beat the
+                       current k-th best).
+``fused_topk_batch`` — the serving kernel: a batch of queries against the
+                       corpus in ONE pass over HBM. The embedding matrix
+                       streams HBM -> VMEM tile by tile; each tile's
+                       (128, T) scores are computed on the MXU and reduced
+                       IN REGISTERS/VMEM to per-256-row-block top-4
+                       (scores + top-3 indices). The (Q, N) score matrix —
+                       which the XLA certified path writes to and re-reads
+                       from HBM three times — never exists. Traffic is one
+                       read of the corpus: the bandwidth speed of light.
 
-Shapes: k <= 128 (we keep one 128-lane running buffer; the API contract
-k <= 48 from the reference's MAX_RESULTS fits comfortably).
+Exactness of the batched kernel (certified): candidates are the top-3 of
+every 256-row block, so an element can only be missed if it ranks 4th or
+lower in its block, i.e. missed <= block's 4th-best. The final merge
+certifies per query that every block's 4th-best < the selected k-th score;
+then nothing missed can belong to the top-k. Failure needs >= 4 of the
+global top-~k elements to share one 256-row block (P ~ C(48,4)/L^3 — never
+at corpus scale; adversarial all-tie inputs do trip it) and is caught and
+routed to the exact XLA fallback per query.
+
+Tie contract everywhere: (score desc, global index asc) — block top-4
+selects lowest index among equals, candidates are laid out so candidate
+position order == global index order for equal scores, and lax.top_k's
+lowest-position preference finishes the job.
+
+Shapes: k <= 128; d % 128 == 0 (CLIP dims 512/768).
 """
 
 from __future__ import annotations
@@ -149,3 +167,148 @@ def fused_topk(
         interpret=interpret,
     )(query.reshape(1, d).astype(jnp.float32), emb)
     return out_s[0, :k], out_i[0, :k]
+
+
+# -- batched kernel: one HBM pass, per-block top-4, certified-exact merge --
+
+# Rows per reduction block: each block yields 4 candidate scores + 3 indices.
+SUB_ROWS = 256
+# Corpus rows per grid step (VMEM budget: E tile f32 2048x768x4 = 6 MB
+# double-buffered by the pipeline + (128, 2048) f32 scores = 1 MB).
+TILE_ROWS = 2048
+_SUBS_PER_TILE = TILE_ROWS // SUB_ROWS  # 8 = f32 min sublane tile
+_INT_MAX = np.int32(2**31 - 1)
+
+
+def _make_batch_kernel(n: int, d: int, compute_dtype):
+    def kernel(q_ref, e_ref, s1, s2, s3, s4, i1, i2, i3):
+        i = pl.program_id(0)
+        q = q_ref[:].astype(compute_dtype)  # (LANES, d)
+        # (TILE_ROWS, LANES) tile scores on the MXU — corpus rows on the
+        # SUBLANE axis, queries on lanes, so every reduction below runs
+        # along sublanes (full-throughput VPU ops; lane-axis reductions
+        # need cross-lane shuffles and made the kernel VPU-bound). For f32
+        # inputs HIGHEST (bf16x3) matches the XLA paths' precision so all
+        # device kernels rank identically; for bf16 the MXU accumulates
+        # f32 natively and Mosaic rejects an explicit fp32 precision.
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        scores = jax.lax.dot_general(
+            e_ref[:], q,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        base = i * TILE_ROWS
+        # (blocks, SUB_ROWS, LANES): axis 1 is the reduction axis.
+        work = scores.reshape(_SUBS_PER_TILE, SUB_ROWS, LANES)
+        row = jax.lax.broadcasted_iota(
+            jnp.int32, (_SUBS_PER_TILE, SUB_ROWS, LANES), 1
+        ) + (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (_SUBS_PER_TILE, SUB_ROWS, LANES), 0
+            )
+            * SUB_ROWS
+            + base
+        )
+        work = jnp.where(row < n, work, NEG_INF)
+        # 4-level selection per block, lowest index among equal scores.
+        for s_out, i_out in ((s1, i1), (s2, i2), (s3, i3), (s4, None)):
+            m = jnp.max(work, axis=1)  # (blocks, LANES)
+            is_m = work == m[:, None, :]
+            s_out[:] = m
+            if i_out is not None:
+                sel = jnp.min(
+                    jnp.where(is_m, row, _INT_MAX), axis=1
+                )  # (blocks, LANES)
+                i_out[:] = sel
+                work = jnp.where(
+                    is_m & (row == sel[:, None, :]), NEG_INF, work
+                )
+
+    return kernel
+
+
+def _block_candidates(emb: jax.Array, queries_padded: jax.Array, interpret: bool):
+    """Run the one-pass kernel: (L, LANES) top-4 scores + top-3 indices
+    per 256-row block, L = cdiv(N, 256) padded to the tile grid."""
+    n, d = emb.shape
+    if d % LANES:
+        raise ValueError(f"d={d} must be a multiple of {LANES}")
+    grid = pl.cdiv(n, TILE_ROWS)
+    rows_l = grid * _SUBS_PER_TILE
+    out_block = pl.BlockSpec(
+        (_SUBS_PER_TILE, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    f32 = jax.ShapeDtypeStruct((rows_l, LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows_l, LANES), jnp.int32)
+    compute_dtype = emb.dtype if emb.dtype == jnp.bfloat16 else jnp.float32
+    return pl.pallas_call(
+        _make_batch_kernel(n, d, compute_dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((LANES, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_ROWS, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_block,) * 7,
+        out_shape=(f32, f32, f32, f32, i32, i32, i32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * LANES * n * d,
+            bytes_accessed=n * d * emb.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries_padded, emb)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def fused_topk_batch(
+    emb: jax.Array, queries: jax.Array, k: int, interpret: bool = False
+):
+    """Batched certified-exact top-k in one pass over the corpus.
+
+    emb: (N, d) float32/bfloat16, d % 128 == 0. queries: (Q, d) float32,
+    Q <= 128. Returns (ok (Q,) bool, scores (Q, k) f32, indices (Q, k)
+    int32): rows with ok=True are the exact global top-k under the
+    (score desc, index asc) contract; ok=False rows (adversarial mass ties
+    only) need the caller's exact fallback.
+    """
+    n, d = emb.shape
+    q = queries.shape[0]
+    if k > LANES:
+        raise ValueError(f"k={k} > {LANES} not supported by the kernel")
+    if q > LANES:
+        raise ValueError(f"Q={q} > {LANES} queries per kernel call")
+    queries = queries.astype(jnp.float32)
+    if q < LANES:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((LANES - q, d), jnp.float32)]
+        )
+    s1, s2, s3, s4, i1, i2, i3 = _block_candidates(emb, queries, interpret)
+    # Candidate layout (Q, L*3) interleaved [block0: lvl1,lvl2,lvl3,
+    # block1: ...]: position order == global-index order for equal scores
+    # (levels within a block are index-ascending on ties by construction,
+    # blocks are index-ascending by layout), so lax.top_k's lowest-position
+    # tie preference implements the lowest-index contract.
+    cand_s = jnp.stack([s1, s2, s3], axis=1)  # (L, 3, LANES)
+    cand_i = jnp.stack([i1, i2, i3], axis=1)
+    rows_l = cand_s.shape[0]
+    cand_s = cand_s.transpose(2, 0, 1).reshape(LANES, rows_l * 3)
+    cand_i = cand_i.transpose(2, 0, 1).reshape(LANES, rows_l * 3)
+    kk = min(k, rows_l * 3)
+    from ..index.search import blocked_top_k  # no cycle: search is jax-only
+
+    top_s, pos = jax.vmap(lambda s: blocked_top_k(s, kk))(cand_s)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    if kk < k:  # tiny corpus: top-3-per-block can't fill k rows; callers
+        # route N<3L cases to the plain path, this keeps shapes total
+        pad = k - kk
+        top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, ((0, 0), (0, pad)), constant_values=-1)
+    # Certification: nothing outside the candidates can reach the top-k.
+    m = top_s[:, min(k, n) - 1]
+    ok = jnp.all(s4.T < m[:, None], axis=1)
+    return ok[:q], top_s[:q, :k], top_i[:q, :k]

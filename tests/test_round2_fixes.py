@@ -173,3 +173,38 @@ def test_stats_route_exposes_percentiles(app_client, tmp_path):
     stats = client.get("/stats").json
     assert "p50_ms" in stats["stage_timers"]["search"]
     assert "p99_ms" in stats["stage_timers"]["search"]
+
+
+def test_dp_encode_sharded_matches_single_device(monkeypatch):
+    # VERDICT round 1 item 7 / SURVEY §2 parallelism row 1: indexing encode
+    # shards the batch axis over the mesh; embeddings must be identical to
+    # single-device (per-image math is independent).
+    import jax
+
+    from evossearch_tpu.core import Config
+    from evossearch_tpu.core.constants import CLIPModelSpec
+    from evossearch_tpu.engine import SearchEngine
+
+    assert len(jax.devices()) == 8  # conftest-forced CPU mesh
+    tiny = CLIPModelSpec(
+        name="tiny", image_size=64, patch_size=16, vision_width=64,
+        vision_layers=2, vision_heads=4, text_width=48, text_layers=2,
+        text_heads=4, vocab_size=49408, context_length=77, embed_dim=32,
+    )
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    rng = np.random.default_rng(0)
+    images = [rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+              for _ in range(11)]  # ragged count -> padding + sharding
+
+    monkeypatch.setenv("EVOSSEARCH_DP_ENCODE", "True")
+    eng_dp = SearchEngine(cfg=Config(env_path=None), spec=tiny)
+    assert eng_dp._encode_sharding is not None
+    emb_dp = eng_dp.encode_images(images)
+
+    monkeypatch.setenv("EVOSSEARCH_DP_ENCODE", "False")
+    eng_1d = SearchEngine(cfg=Config(env_path=None), spec=tiny)
+    assert eng_1d._encode_sharding is None
+    emb_1d = eng_1d.encode_images(images)
+
+    assert emb_dp.shape == (11, 32)
+    np.testing.assert_allclose(emb_dp, emb_1d, rtol=1e-6, atol=1e-6)

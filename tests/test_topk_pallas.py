@@ -75,3 +75,109 @@ def test_bfloat16_matrix():
     s, i = fused_topk(jnp.asarray(emb, jnp.bfloat16), jnp.asarray(q), 5,
                       block_rows=256, interpret=True)
     assert int(np.asarray(i)[0]) == 100
+
+
+# -- batched one-pass kernel (round 2) --
+
+
+def _oracle_batch(emb, queries, k):
+    scores = np.asarray(queries, np.float32) @ np.asarray(emb, np.float32).T
+    out_s, out_i = [], []
+    for s in scores:
+        order = np.lexsort((np.arange(len(s)), -s))[:k]
+        out_s.append(s[order])
+        out_i.append(order)
+    return np.array(out_s), np.array(out_i, dtype=np.int64)
+
+
+@pytest.mark.parametrize(
+    "n,d,q,k",
+    [(3000, 512, 5, 10), (2048, 256, 3, 7), (4100, 128, 8, 48),
+     (50_000, 512, 48, 48), (513, 128, 1, 1)],
+)
+def test_batch_certified_rows_are_exact(n, d, q, k):
+    from evossearch_tpu.ops.topk_pallas import fused_topk_batch
+
+    rng = np.random.default_rng(n + d)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    ok, s, i = fused_topk_batch(
+        jnp.asarray(emb), jnp.asarray(queries), k, interpret=True
+    )
+    ok, s, i = np.asarray(ok), np.asarray(s), np.asarray(i)
+    os_, oi_ = _oracle_batch(emb, queries, k)
+    assert ok.shape == (q,)
+    if ok.any():
+        np.testing.assert_array_equal(i[ok], oi_[ok])
+        np.testing.assert_allclose(s[ok], os_[ok], rtol=1e-5, atol=1e-4)
+    if n >= 50_000:
+        # Certification saturates with block count: P(4 of the top-k share
+        # a 256-row block) ~ C(k,4)/L^3 — ~2.6% per query at 50K, 3e-6 at
+        # the 1M BASELINE scale. Mid-scale may see a few flagged rows
+        # (cheap fallback); most rows must certify.
+        assert ok.mean() > 0.8
+
+
+def test_batch_all_ties_fail_certification():
+    # Adversarial mass ties: >3 top elements per 256-row block everywhere —
+    # the kernel must FLAG this (ok=False), never silently return wrong rows.
+    from evossearch_tpu.ops.topk_pallas import fused_topk_batch
+
+    emb = jnp.ones((3000, 128), jnp.float32)
+    queries = jnp.ones((4, 128), jnp.float32)
+    ok, _, _ = fused_topk_batch(emb, queries, 48, interpret=True)
+    assert not np.asarray(ok).any()
+
+
+def test_batch_duplicate_rows_tie_contract():
+    from evossearch_tpu.ops.topk_pallas import fused_topk_batch
+
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((2000, 128)).astype(np.float32)
+    emb[100] = emb[40]  # exact duplicate -> tie broken by lower index
+    queries = rng.standard_normal((2, 128)).astype(np.float32)
+    ok, s, i = fused_topk_batch(
+        jnp.asarray(emb), jnp.asarray(queries), 60, interpret=True
+    )
+    ok, i = np.asarray(ok), np.asarray(i)
+    os_, oi_ = _oracle_batch(emb, queries, 60)
+    np.testing.assert_array_equal(i[ok], oi_[ok])
+
+
+def test_batch_bfloat16_certified():
+    from evossearch_tpu.ops.topk_pallas import fused_topk_batch
+
+    rng = np.random.default_rng(3)
+    emb = jnp.asarray(rng.standard_normal((30_000, 512)), jnp.bfloat16)
+    queries = jnp.asarray(rng.standard_normal((16, 512)), jnp.float32)
+    ok, s, i = fused_topk_batch(emb, queries, 48, interpret=True)
+    ok, i = np.asarray(ok), np.asarray(i)
+    assert ok.mean() > 0.5  # mid-scale: some rows may fall back (see above)
+    # oracle on the same bf16-rounded values: the kernel casts queries to
+    # the embedding dtype exactly like the XLA path does
+    os_, oi_ = _oracle_batch(
+        np.asarray(emb, np.float32),
+        np.asarray(queries.astype(jnp.bfloat16), np.float32), 48)
+    np.testing.assert_array_equal(i[ok], oi_[ok])
+
+
+def test_pallas_search_batch_fallback_covers_uncertified():
+    # The public wrapper must return EXACT results even when certification
+    # fails (all-ties) by routing failed rows to the XLA fallback.
+    from evossearch_tpu.index.search import pallas_search_batch
+
+    emb = np.ones((3000, 128), np.float32)
+    queries = np.ones((4, 128), np.float32)
+    s, i = pallas_search_batch(emb, queries, 10)
+    np.testing.assert_array_equal(i, np.tile(np.arange(10), (4, 1)))
+
+
+def test_pallas_search_batch_delegates_on_shape_mismatch():
+    from evossearch_tpu.index.search import pallas_search_batch
+
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((1000, 96)).astype(np.float32)  # d % 128 != 0
+    queries = rng.standard_normal((3, 96)).astype(np.float32)
+    s, i = pallas_search_batch(emb, queries, 5)
+    os_, oi_ = _oracle_batch(emb, queries, 5)
+    np.testing.assert_array_equal(i, oi_)
