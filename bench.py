@@ -56,7 +56,7 @@ def bench_search() -> dict:
     import jax
     import jax.numpy as jnp
 
-    from evossearch_tpu.index.search import exact_search_batch, _topk_matvec
+    from evossearch_tpu.index.search import best_exact_search_batch, _topk_matvec
 
     log(f"devices: {jax.devices()}")
     emb = jax.random.normal(jax.random.key(0), (N_VECTORS, DIM), jnp.float32)
@@ -71,12 +71,12 @@ def bench_search() -> dict:
     # device-resident queries: serving produces query embeddings on device
     # (encode_text), so the steady-state cost is one dispatch + one packed
     # result fetch
-    exact_search_batch(emb, queries, K)  # compile (certified fast path)
+    best_exact_search_batch(emb, queries, K)  # compile (pallas one-pass)
     _sync(_topk_matvec(emb, queries[0], K))
 
     floor_ms = _p50(lambda: trivial(zeros))
-    # exact_search_batch returns host arrays (its own sync)
-    batch_ms = _p50(lambda: exact_search_batch(emb, queries, K)[0])
+    # best_exact_search_batch returns host arrays (its own sync)
+    batch_ms = _p50(lambda: best_exact_search_batch(emb, queries, K)[0])
     single_ms = _p50(lambda: _topk_matvec(emb, queries[0], K))
     per_query = batch_ms / QUERY_BATCH
 
@@ -195,8 +195,76 @@ def _run_phase(fn, budget_s: int = 300):
         signal.signal(signal.SIGALRM, prev)
 
 
+def bench_index() -> None:
+    """End-to-end indexing throughput through the REAL pipeline
+    (threaded decode -> host prepare -> fused device preprocess+encode ->
+    shard store), plus the per-stage split and the device-pipeline-only
+    ceiling. BASELINE north star: >= 1,000 images/sec/chip (ViT-B/32)."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from evossearch_tpu.core import CLIP_MODEL_SPECS, Config
+    from evossearch_tpu.engine import SearchEngine
+
+    n_images = 1536
+    tmp = tempfile.mkdtemp(prefix="bench_index_")
+    try:
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        t0 = time.perf_counter()
+        # Realistic decode cost: 640x480 JPEG q85 photos.
+        base = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+        for i in range(n_images):
+            # cheap per-image variation without regenerating noise
+            arr = np.roll(base, shift=i * 7, axis=1)
+            arr[0, 0] = (i & 255, (i >> 8) & 255, 0)
+            Image.fromarray(arr).save(f"{tmp}/img_{i:05d}.jpg", quality=85)
+        log(f"bench_index: synthesized {n_images} JPEGs in "
+            f"{time.perf_counter() - t0:.1f}s")
+
+        cfg = Config(env_path=None)
+        eng = SearchEngine(cfg=cfg, spec=CLIP_MODEL_SPECS["ViT-B/32"])
+        eng.warmup()
+        t0 = time.perf_counter()
+        count = eng.index_folder(tmp)
+        wall = time.perf_counter() - t0
+        snap = eng.timers.snapshot()
+        split = {
+            name: round(snap[name]["total_s"], 2)
+            for name in ("index_decode", "index_prepare", "prep_encode")
+            if name in snap
+        }
+        log(f"bench_index END-TO-END: {count} images in {wall:.2f}s = "
+            f"{count / wall:.0f} img/s [target >= 1000] "
+            f"(host: {__import__('os').cpu_count()} cores)")
+        log(f"bench_index stage split (seconds, stages overlap): {split}")
+
+        # Device-pipeline-only ceiling: the same REAL prepared batches,
+        # re-encoded without host decode in the loop.
+        from evossearch_tpu.preprocess import prepare_batch
+        from evossearch_tpu.preprocess.io import load_batch_rgb
+
+        paths = sorted(__import__("pathlib").Path(tmp).glob("*.jpg"))[:256]
+        arrays = load_batch_rgb(paths, min_short_side=448, fast=cfg.FAST_DECODE)
+        prepared = prepare_batch([a for a in arrays if a is not None],
+                                 target=eng.spec.image_size)
+        eng.encode_prepared(*prepared)  # compile
+        reps = 6
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            eng.encode_prepared(*prepared)
+        dt = time.perf_counter() - t0
+        log(f"bench_index DEVICE-ONLY (prepared batches of 256): "
+            f"{reps * 256 / dt:.0f} img/s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
-    for extra in (bench_encode, bench_encode_l14, bench_search_10m):
+    for extra in (bench_encode, bench_encode_l14, bench_index, bench_search_10m):
         try:
             _run_phase(extra)
         except Exception as e:  # extras must not kill the primary metric

@@ -116,7 +116,9 @@ class Config:
         # decode of large photos); disable for bit-parity with PIL decode.
         self.FAST_DECODE = _env_bool("EVOSSEARCH_FAST_DECODE", "True")
         # Exact-search kernel: auto | xla | pallas | host | sharded.
-        #   auto    = xla single-device; sharded when >1 device visible
+        #   auto    = sharded when >1 device visible; else per-corpus best
+        #             (pallas one-pass kernel for f32, certified xla for
+        #             bf16/CPU — measured on v5e)
         #   xla     = blocked matvec+top_k (device)
         #   pallas  = fused streaming top-k kernel (device)
         #   host    = native C++ threaded scan over the mmap store

@@ -211,6 +211,14 @@ def _pipelined_build(
 
     target = encoder.spec.image_size
     out: "queue.Queue" = queue.Queue(maxsize=3)
+    timers = getattr(encoder, "timers", None)
+    from contextlib import nullcontext
+
+    def timed(stage: str):
+        # Stage timers run in the producer thread concurrently with the
+        # device consumer, so stage sums can exceed wall time — they
+        # measure per-stage cost, not the (overlapped) critical path.
+        return timers.stage(stage) if timers is not None else nullcontext()
 
     def producer():
         batch, bpaths, bmeta = [], [], []
@@ -218,7 +226,9 @@ def _pipelined_build(
         def emit():
             nonlocal batch, bpaths, bmeta
             if batch:
-                out.put((*prepare_batch(batch, target=target), bpaths, bmeta))
+                with timed("index_prepare"):
+                    prepared = prepare_batch(batch, target=target)
+                out.put((*prepared, bpaths, bmeta))
                 batch, bpaths, bmeta = [], [], []
 
         try:
@@ -226,11 +236,12 @@ def _pipelined_build(
             for start in range(0, len(todo), batch_size):
                 chunk = todo[start : start + batch_size]
                 # threaded native batch decode (GIL released per worker)
-                arrays = load_batch_rgb(
-                    chunk,
-                    min_short_side=decode_short_side if fast_decode else 0,
-                    fast=fast_decode,
-                )
+                with timed("index_decode"):
+                    arrays = load_batch_rgb(
+                        chunk,
+                        min_short_side=decode_short_side if fast_decode else 0,
+                        fast=fast_decode,
+                    )
                 for img_path, arr in zip(chunk, arrays):
                     if arr is None:  # oldapp.py:79-80 semantics
                         log.warning("Error processing %s: undecodable", img_path)

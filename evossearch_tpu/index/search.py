@@ -117,20 +117,23 @@ def _fast_topk_batch(emb: jax.Array, queries: jax.Array, k: int):
     return _certified_topk(scores, k)
 
 
+# Max corpus rows a packed result can carry: indices ride in f32 VALUES,
+# which are exact integers up to 2**24. NEVER bitcast indices into f32 —
+# small ints are denormal bit patterns and TPU compute flushes denormals
+# to zero in some compilations (observed on-device: correct scores, all
+# indices zeroed).
+_PACK_MAX_ROWS = 1 << 24
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _fast_topk_batch_packed(emb: jax.Array, queries: jax.Array, k: int):
     """Same as _fast_topk_batch, packed into ONE (Q, 2k+1) f32 array:
-    [scores | bitcast(indices) | ok]. One device->host fetch instead of
+    [scores | float(indices) | ok]. One device->host fetch instead of
     three — device->host round-trips are not free (this rig's relay
     charges ~30ms each; even PCIe charges latency)."""
     ok, s, i = _fast_topk_batch(emb, queries, k)
     return jnp.concatenate(
-        [
-            s,
-            jax.lax.bitcast_convert_type(i, jnp.float32),
-            ok[:, None].astype(jnp.float32),
-        ],
-        axis=1,
+        [s, i.astype(jnp.float32), ok[:, None].astype(jnp.float32)], axis=1
     )
 
 
@@ -142,7 +145,7 @@ def _searched_with_fallback(emb, queries: np.ndarray, k: int):
     queries_d = jnp.asarray(queries, dtype=jnp.float32)  # no-op if on device
     packed = np.asarray(_fast_topk_batch_packed(emb, queries_d, k))
     s = packed[:, :k].copy()
-    i = np.ascontiguousarray(packed[:, k : 2 * k]).view(np.int32).copy()
+    i = packed[:, k : 2 * k].astype(np.int64)
     ok = packed[:, -1] > 0
     if not ok.all():
         slow_s, slow_i = _topk_batch(emb, queries_d[np.flatnonzero(~ok)], k)
@@ -171,7 +174,7 @@ def exact_search(emb, query: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray
     k = min(k, n)
     if k == 0:
         return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
-    if n >= _FAST_PATH_MIN_ROWS and k <= 128:
+    if _FAST_PATH_MIN_ROWS <= n < _PACK_MAX_ROWS and k <= 128:
         # index with [None, :] rather than np.asarray so a device-resident
         # query stays on device (np.asarray would be a blocking fetch)
         query_2d = (
@@ -241,17 +244,13 @@ def exact_search_host_reader(reader, query: np.ndarray, k: int):
 def _pallas_topk_packed(emb: jax.Array, queries: jax.Array, k: int,
                         interpret: bool = False):
     """Pallas one-pass kernel + packed (Q, 2k+1) f32 result:
-    [scores | bitcast(indices) | ok] — one device->host fetch."""
+    [scores | float(indices) | ok] — one device->host fetch. Indices ride
+    as f32 values (exact below 2**24; see _PACK_MAX_ROWS note above)."""
     from ..ops.topk_pallas import fused_topk_batch
 
     ok, s, i = fused_topk_batch(emb, queries, k, interpret=interpret)
     return jnp.concatenate(
-        [
-            s,
-            jax.lax.bitcast_convert_type(i, jnp.float32),
-            ok[:, None].astype(jnp.float32),
-        ],
-        axis=1,
+        [s, i.astype(jnp.float32), ok[:, None].astype(jnp.float32)], axis=1
     )
 
 
@@ -266,7 +265,7 @@ def pallas_search_batch(emb, queries: np.ndarray, k: int):
     """
     n, d = emb.shape
     k = min(k, n)
-    if d % 128 or k > 128 or n < 512:
+    if d % 128 or k > 128 or n < 512 or n >= _PACK_MAX_ROWS:
         return exact_search_batch(emb, queries, k)
     if k == 0:
         q = np.asarray(queries).shape[0]
@@ -285,13 +284,25 @@ def pallas_search_batch(emb, queries: np.ndarray, k: int):
         )
     packed = np.concatenate(outs, axis=0)
     s = packed[:, :k].copy()
-    i = np.ascontiguousarray(packed[:, k : 2 * k]).view(np.int32).copy()
+    i = packed[:, k : 2 * k].astype(np.int64)
     ok = packed[:, -1] > 0
     if not ok.all():
         slow_s, slow_i = _topk_batch(emb, queries_d[np.flatnonzero(~ok)], k)
         s[~ok] = np.asarray(slow_s)
         i[~ok] = np.asarray(slow_i)
     return s, i
+
+
+def best_exact_search_batch(emb, queries: np.ndarray, k: int):
+    """Measured auto policy (v5e, batch-48, net of dispatch floor):
+    the Pallas one-pass kernel wins ~1.75x for f32 corpora (4.4 vs 7.7 ms
+    at 1M); the certified-XLA path wins for large bf16 corpora (29 vs 37 ms
+    at 10M — its extra score-matrix passes are cheaper than the kernel's
+    VPU selection once the matmul itself is cheap). CPU backend always
+    takes the XLA path (interpret-mode Pallas is test-only)."""
+    if emb.dtype == jnp.float32 and jax.default_backend() != "cpu":
+        return pallas_search_batch(emb, queries, k)
+    return exact_search_batch(emb, queries, k)
 
 
 def exact_search_batch(emb, queries: np.ndarray, k: int):
@@ -301,7 +312,7 @@ def exact_search_batch(emb, queries: np.ndarray, k: int):
     if k == 0:
         q = np.asarray(queries).shape[0]
         return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
-    if n >= _FAST_PATH_MIN_ROWS and k <= 128:
+    if _FAST_PATH_MIN_ROWS <= n < _PACK_MAX_ROWS and k <= 128:
         return _searched_with_fallback(emb, queries, k)
     scores, idx = _topk_batch(jnp.asarray(emb), jnp.asarray(queries), k)
     return np.asarray(scores), np.asarray(idx)

@@ -184,50 +184,46 @@ def _make_batch_kernel(n: int, d: int, compute_dtype):
     def kernel(q_ref, e_ref, s1, s2, s3, s4, i1, i2, i3):
         i = pl.program_id(0)
         q = q_ref[:].astype(compute_dtype)  # (LANES, d)
-        # (TILE_ROWS, LANES) tile scores on the MXU — corpus rows on the
-        # SUBLANE axis, queries on lanes, so every reduction below runs
-        # along sublanes (full-throughput VPU ops; lane-axis reductions
-        # need cross-lane shuffles and made the kernel VPU-bound). For f32
-        # inputs HIGHEST (bf16x3) matches the XLA paths' precision so all
-        # device kernels rank identically; for bf16 the MXU accumulates
-        # f32 natively and Mosaic rejects an explicit fp32 precision.
+        # (LANES, TILE_ROWS) tile scores on the MXU, queries on sublanes,
+        # corpus rows on lanes. (A corpus-on-sublanes orientation with
+        # axis-1 reductions over (blocks, SUB, LANES) was tried and costs
+        # ~4x more — Mosaic lowers those 3D sublane reductions poorly.)
+        # For f32 inputs HIGHEST (bf16x3) matches the XLA paths' precision
+        # so all device kernels rank identically; for bf16 the MXU
+        # accumulates f32 natively and Mosaic rejects an explicit fp32
+        # contract precision.
         precision = (
             jax.lax.Precision.HIGHEST
             if compute_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT
         )
         scores = jax.lax.dot_general(
-            e_ref[:], q,
+            q, e_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
         )
         base = i * TILE_ROWS
-        # (blocks, SUB_ROWS, LANES): axis 1 is the reduction axis.
-        work = scores.reshape(_SUBS_PER_TILE, SUB_ROWS, LANES)
-        row = jax.lax.broadcasted_iota(
-            jnp.int32, (_SUBS_PER_TILE, SUB_ROWS, LANES), 1
-        ) + (
-            jax.lax.broadcasted_iota(
-                jnp.int32, (_SUBS_PER_TILE, SUB_ROWS, LANES), 0
+        outs = ((s1, i1), (s2, i2), (s3, i3), (s4, None))
+        for s in range(_SUBS_PER_TILE):
+            sub_base = base + s * SUB_ROWS
+            work = scores[:, s * SUB_ROWS : (s + 1) * SUB_ROWS]
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB_ROWS), 1)
+                + sub_base
             )
-            * SUB_ROWS
-            + base
-        )
-        work = jnp.where(row < n, work, NEG_INF)
-        # 4-level selection per block, lowest index among equal scores.
-        for s_out, i_out in ((s1, i1), (s2, i2), (s3, i3), (s4, None)):
-            m = jnp.max(work, axis=1)  # (blocks, LANES)
-            is_m = work == m[:, None, :]
-            s_out[:] = m
-            if i_out is not None:
-                sel = jnp.min(
-                    jnp.where(is_m, row, _INT_MAX), axis=1
-                )  # (blocks, LANES)
-                i_out[:] = sel
-                work = jnp.where(
-                    is_m & (row == sel[:, None, :]), NEG_INF, work
-                )
+            work = jnp.where(col < n, work, NEG_INF)
+            # 4-level selection, lowest index among equal scores.
+            for s_out, i_out in outs:
+                m = jnp.max(work, axis=1)  # (LANES,)
+                is_m = work == m[:, None]
+                s_out[s, :] = m
+                if i_out is not None:
+                    sel = jnp.min(jnp.where(is_m, col, _INT_MAX), axis=1)
+                    i_out[s, :] = sel
+                    work = jnp.where(
+                        is_m & (col == sel[:, None]), NEG_INF, work
+                    )
 
     return kernel
 

@@ -203,3 +203,78 @@ def test_init_params_forward_shapes():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(emb_i), axis=-1), 1.0, atol=1e-5
     )
+
+
+# -- round 2: full-scale ViT-B/32 converter + parity (VERDICT item 6) --
+
+
+@pytest.mark.slow
+def test_full_scale_b32_converter_parity():
+    """Converter + towers at FULL ViT-B/32 scale (release architecture:
+    12L/768w/12h vision, 12L/512w/8h text, vocab 49408, ctx 77, embed 512)
+    against the torch oracle — closes the tiny-spec-only gap. ~1.5 GB RAM,
+    ~2 min on this host; random weights (no CLIP assets in image), which
+    pins the numerics exactly as well as trained ones would."""
+    from transformers import CLIPConfig, CLIPModel
+
+    from evossearch_tpu.core import CLIP_MODEL_SPECS
+
+    spec = CLIP_MODEL_SPECS["ViT-B/32"]
+    cfg = CLIPConfig(
+        projection_dim=spec.embed_dim,
+        vision_config=dict(
+            image_size=spec.image_size, patch_size=spec.patch_size,
+            hidden_size=spec.vision_width, num_hidden_layers=spec.vision_layers,
+            num_attention_heads=spec.vision_heads,
+            intermediate_size=4 * spec.vision_width, hidden_act="quick_gelu",
+        ),
+        text_config=dict(
+            vocab_size=spec.vocab_size, hidden_size=spec.text_width,
+            num_hidden_layers=spec.text_layers,
+            num_attention_heads=spec.text_heads,
+            intermediate_size=4 * spec.text_width, hidden_act="quick_gelu",
+            max_position_embeddings=spec.context_length,
+            eos_token_id=49407,
+        ),
+    )
+    torch.manual_seed(0)
+    model = CLIPModel(cfg).eval()
+    params = from_hf_state_dict(
+        model.state_dict(), spec.vision_layers, spec.text_layers
+    )
+    n_params = sum(
+        int(np.prod(p.shape))
+        for p in __import__("jax").tree_util.tree_leaves(params)
+    )
+    # release parameter count check (visual+text towers + projections)
+    assert n_params == 151_277_313, n_params
+
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    toks = np.zeros((2, 77), np.int64)
+    toks[:, 0] = 49406
+    toks[0, 1:9] = rng.integers(2, 49000, 8)
+    toks[0, 9] = 49407
+    toks[1, 1:30] = rng.integers(2, 49000, 29)
+    toks[1, 30] = 49407
+
+    with torch.no_grad():
+        t_img = model.get_image_features(
+            pixel_values=torch.from_numpy(images.transpose(0, 3, 1, 2))
+        ).numpy()
+        t_txt = model.get_text_features(
+            input_ids=torch.from_numpy(toks)
+        ).numpy()
+    t_img /= np.linalg.norm(t_img, axis=-1, keepdims=True)
+    t_txt /= np.linalg.norm(t_txt, axis=-1, keepdims=True)
+
+    j_img = np.asarray(encode_image(params, images, spec))
+    j_txt = np.asarray(encode_text(params, toks.astype(np.int32), spec))
+
+    cos_img = (j_img * t_img).sum(-1)
+    cos_txt = (j_txt * t_txt).sum(-1)
+    print(f"full-scale B/32 parity: cos_img={cos_img}, cos_txt={cos_txt}, "
+          f"max_abs_img={np.abs(j_img - t_img).max():.2e}, "
+          f"max_abs_txt={np.abs(j_txt - t_txt).max():.2e}")
+    np.testing.assert_allclose(j_img, t_img, atol=5e-5, rtol=1e-3)
+    np.testing.assert_allclose(j_txt, t_txt, atol=5e-5, rtol=1e-3)

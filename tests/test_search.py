@@ -65,3 +65,44 @@ def test_bfloat16_index_still_exact_ordering_on_separated_scores():
     q = emb[17] + 0.0  # near-duplicate query: top-1 must be row 17
     _, idx = exact_search(emb.astype(ml_dtypes.bfloat16), q, 5)
     assert idx[0] == 17
+
+
+def test_packed_results_carry_indices_as_f32_values():
+    # Regression: indices used to ride the packed result as int32->f32
+    # BITCASTS, i.e. denormal bit patterns, which TPU compute flushes to
+    # zero in some compilations (observed on hardware: correct scores,
+    # all indices zero). They must ride as exact f32 VALUES instead.
+    import jax.numpy as jnp
+
+    from evossearch_tpu.index.search import (
+        _fast_topk_batch_packed, _pallas_topk_packed,
+    )
+
+    n, d, k = 600_000, 128, 4  # big enough for large index values
+    rng = np.random.default_rng(0)
+    emb = np.zeros((n, d), np.float32)
+    hot = [3, 2**19 + 11, n - 2, 2**18]  # includes values > 2^17
+    for rank, row in enumerate(hot):
+        emb[row, 0] = 10.0 - rank
+    queries = np.zeros((2, d), np.float32)
+    queries[:, 0] = 1.0
+    for fn in (
+        lambda: _fast_topk_batch_packed(jnp.asarray(emb), jnp.asarray(queries), k),
+        lambda: _pallas_topk_packed(jnp.asarray(emb), jnp.asarray(queries), k, True),
+    ):
+        packed = np.asarray(fn())
+        idx = packed[:, k : 2 * k]
+        # f32 VALUE encoding: fractional part zero, exact integers
+        assert (idx == np.round(idx)).all()
+        got = idx[0].astype(np.int64)
+        ok = packed[0, -1] > 0
+        if ok:
+            assert list(got) == sorted(hot, key=lambda r: -emb[r, 0]), got
+
+
+def test_fast_path_guard_above_pack_limit():
+    from evossearch_tpu.index import search as S
+
+    # corpora >= 2^24 rows must not take the packed fast path (f32 values
+    # can't carry those indices exactly); spot-check the guard constants.
+    assert S._PACK_MAX_ROWS == 1 << 24
