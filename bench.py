@@ -263,8 +263,43 @@ def bench_index() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_ivf() -> None:
+    """IVF at BASELINE config-5 scale: build a 1M clustered corpus, train
+    on the TPU (chunked k-means), validate recall@48 >= 0.99 vs exact, and
+    report build time + query latency."""
+    from evossearch_tpu.index.ivf import IVFIndex
+    from evossearch_tpu.index.search import exact_search_batch
+
+    rng = np.random.default_rng(0)
+    n, d, n_clusters = 1_000_000, DIM, 1000
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    emb = centers[rng.integers(0, n_clusters, n)]
+    emb += 0.25 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+
+    t0 = time.perf_counter()
+    ivf = IVFIndex.build(emb, nlist=1000, iters=10)
+    build_s = time.perf_counter() - t0
+    qs = emb[rng.integers(0, n, 32)] + 0.05 * rng.standard_normal(
+        (32, d)
+    ).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    exact_s, exact_i = exact_search_batch(emb, qs, K)
+    hits = total = 0
+    t0 = time.perf_counter()
+    for row, q in enumerate(qs):
+        s, i = ivf.search(q, K)
+        hits += len(set(map(int, i)) & set(map(int, exact_i[row])))
+        total += K
+    q_ms = (time.perf_counter() - t0) / len(qs) * 1e3
+    log(f"IVF 1M (nlist=1000): build={build_s:.1f}s, recall@{K}="
+        f"{hits / total:.4f} [target >= 0.99], query={q_ms:.1f} ms "
+        f"(single-query wall incl ~28ms RPC floor)")
+
+
 def main() -> None:
-    for extra in (bench_encode, bench_encode_l14, bench_index, bench_search_10m):
+    for extra in (bench_encode, bench_encode_l14, bench_index, bench_ivf,
+                  bench_search_10m):
         try:
             _run_phase(extra)
         except Exception as e:  # extras must not kill the primary metric

@@ -31,22 +31,76 @@ from .search import blocked_top_k
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+# Rows per k-means chunk: bounds peak memory at chunk x nlist scores +
+# chunk x nlist one-hot (64 MB each at nlist=4096) instead of the
+# N x nlist matrix a whole-corpus formulation would materialize (126 GB at
+# 10M x 3162 — VERDICT round 1 item 10).
+KMEANS_CHUNK = 1 << 15
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def _kmeans(emb: jax.Array, init: jax.Array, iters: int) -> jax.Array:
-    """Spherical k-means; emb (N, d) L2-normalized, init (nlist, d)."""
+    """Spherical k-means; emb (N, d) L2-normalized, init (nlist, d).
+
+    Assignment + accumulation run chunk-by-chunk under lax.scan, so HBM
+    holds the corpus plus one chunk's score/one-hot matrices — never an
+    (N, nlist) intermediate. Padding rows carry weight 0 and cannot
+    perturb the centroids.
+    """
+    n, d = emb.shape
+    nlist = init.shape[0]
+    chunks = -(-n // KMEANS_CHUNK)
+    pad = chunks * KMEANS_CHUNK - n
+    weights = jnp.concatenate(
+        [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    ).reshape(chunks, KMEANS_CHUNK)
+    emb_c = jnp.concatenate(
+        [emb, jnp.zeros((pad, d), emb.dtype)]
+    ).reshape(chunks, KMEANS_CHUNK, d)
 
     def step(cent, _):
-        scores = emb @ cent.T  # (N, nlist)
-        assign = jnp.argmax(scores, axis=1)
-        onehot = jax.nn.one_hot(assign, cent.shape[0], dtype=emb.dtype)
-        sums = onehot.T @ emb  # (nlist, d)
-        counts = onehot.sum(axis=0)[:, None]
-        new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), cent)
+        def body(carry, xw):
+            sums, counts = carry
+            x, w = xw
+            scores = jnp.dot(x, cent.T, preferred_element_type=jnp.float32)
+            assign = jnp.argmax(scores, axis=1)
+            oh = jax.nn.one_hot(assign, nlist, dtype=jnp.float32) * w[:, None]
+            sums = sums + jnp.dot(
+                oh.T, x.astype(jnp.float32), preferred_element_type=jnp.float32
+            )
+            counts = counts + oh.sum(axis=0)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((nlist, d), jnp.float32), jnp.zeros((nlist,), jnp.float32)),
+            (emb_c, weights),
+        )
+        counts = counts[:, None]
+        new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), cent)
         norm = jnp.linalg.norm(new, axis=1, keepdims=True)
-        return new / jnp.maximum(norm, 1e-12), None
+        return (new / jnp.maximum(norm, 1e-12)).astype(cent.dtype), None
 
     cent, _ = jax.lax.scan(step, init, None, length=iters)
     return cent
+
+
+@jax.jit
+def _assign(emb: jax.Array, cent: jax.Array) -> jax.Array:
+    """Chunked nearest-centroid assignment; (N,) int32."""
+    n, d = emb.shape
+    chunks = -(-n // KMEANS_CHUNK)
+    pad = chunks * KMEANS_CHUNK - n
+    emb_c = jnp.concatenate(
+        [emb, jnp.zeros((pad, d), emb.dtype)]
+    ).reshape(chunks, KMEANS_CHUNK, d)
+
+    def body(_, x):
+        scores = jnp.dot(x, cent.T, preferred_element_type=jnp.float32)
+        return None, jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+    _, a = jax.lax.scan(body, None, emb_c)
+    return a.reshape(-1)[:n]
 
 
 @dataclass
@@ -73,27 +127,28 @@ class IVFIndex:
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         emb_n = emb / np.maximum(norms, 1e-12)
         init = emb_n[rng.choice(n, size=nlist, replace=False)]
-        cent = np.asarray(_kmeans(jnp.asarray(emb_n), jnp.asarray(init), iters))
+        emb_dev = jnp.asarray(emb_n)
+        cent = np.asarray(_kmeans(emb_dev, jnp.asarray(init), iters))
+        assign = np.asarray(_assign(emb_dev, jnp.asarray(cent)))
+        del emb_dev
 
-        assign = np.asarray(
-            jnp.argmax(jnp.asarray(emb_n) @ jnp.asarray(cent).T, axis=1)
-        )
+        # Vectorized bucket layout (a per-row Python loop dies at 1M+):
+        # stable-sort rows by cluster, compute each row's position within
+        # its cluster, and scatter rows below the cap into the dense
+        # buckets; the rest spill to the exact-scanned tail.
         cap = max(1, int(np.ceil(n / nlist * bucket_factor)))
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        starts = np.searchsorted(sorted_assign, np.arange(nlist))
+        pos_within = np.arange(n) - starts[sorted_assign]
+        in_bucket = pos_within < cap
+        rows_in, rows_spill = order[in_bucket], order[~in_bucket]
         buckets = np.zeros((nlist, cap, d), np.float32)
         bucket_ids = np.full((nlist, cap), -1, np.int32)
-        fill = np.zeros(nlist, np.int64)
-        spill_rows, spill_ids = [], []
-        for row, c in enumerate(assign):
-            if fill[c] < cap:
-                buckets[c, fill[c]] = emb[row]
-                bucket_ids[c, fill[c]] = row
-                fill[c] += 1
-            else:
-                spill_rows.append(emb[row])
-                spill_ids.append(row)
-        spill = (
-            np.stack(spill_rows) if spill_rows else np.zeros((0, d), np.float32)
-        )
+        buckets[sorted_assign[in_bucket], pos_within[in_bucket]] = emb[rows_in]
+        bucket_ids[sorted_assign[in_bucket], pos_within[in_bucket]] = rows_in
+        spill = np.ascontiguousarray(emb[rows_spill], np.float32)
+        spill_ids = rows_spill.astype(np.int32)
         return cls(
             centroids=jnp.asarray(cent),
             buckets=jnp.asarray(buckets),

@@ -83,3 +83,34 @@ def test_tiny_corpus():
     s, i = ivf.search(emb[3], 5, nprobe=2)
     assert int(i[0]) == 3
     assert len(s) == 5
+
+
+@pytest.mark.slow
+def test_recall_at_scale_100k():
+    """Scale recall check runnable on the CPU mesh (the full 1M validation
+    runs on TPU in bench.py's bench_ivf phase): 100k clustered vectors,
+    recall@48 >= 0.99 vs exact, chunked k-means (corpus > KMEANS_CHUNK
+    exercises the lax.scan accumulation path)."""
+    from evossearch_tpu.index.ivf import KMEANS_CHUNK, IVFIndex
+    from evossearch_tpu.index.search import exact_search_host
+
+    rng = np.random.default_rng(0)
+    n, d, n_clusters = 100_000, 128, 300
+    assert n > KMEANS_CHUNK
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    emb = centers[rng.integers(0, n_clusters, n)] + 0.25 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ivf = IVFIndex.build(emb, nlist=316, iters=8)
+
+    k, hits, total = 48, 0, 0
+    for qi in range(20):
+        q = emb[rng.integers(0, n)] + 0.05 * rng.standard_normal(d).astype(np.float32)
+        q /= np.linalg.norm(q)
+        exact_s, exact_i = exact_search_host(emb, q, k)
+        s, i = ivf.search(q, k)
+        hits += len(set(map(int, i)) & set(map(int, exact_i)))
+        total += k
+    recall = hits / total
+    assert recall >= 0.99, recall
