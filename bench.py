@@ -151,7 +151,7 @@ def bench_encode() -> None:
 
     @jax.jit
     def fwd(p, x):
-        return encode_image(p, x, spec, compute_dtype=jnp.bfloat16)
+        return encode_image(p, x, spec, compute_dtype=jnp.bfloat16, seq_merge=2)
 
     _sync(fwd(params, images))
     reps = 20

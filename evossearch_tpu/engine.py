@@ -141,21 +141,34 @@ class SearchEngine:
         canvases go to the device once; everything to the embedding happens
         in a single compiled computation.
         """
+        import functools as _ft
+
         import jax
 
         from .models import encode_image
         from .preprocess import device_preprocess_indexed
 
         spec, dtype = self.spec, self._compute_dtype
+        # Sequence-merge: run 2 images as one masked sequence when the ViT
+        # sequence is short (<128 tokens, i.e. B/32's 50) — the attention
+        # batched matmuls underfeed the MXU otherwise (measured 1.57x on
+        # the tower at batch 512 on v5e). Identical math (models/clip.py).
+        want_merge = 2 if (
+            spec.num_image_tokens < 128 and jax.default_backend() != "cpu"
+        ) else 1
 
-        @jax.jit
-        def fn(params, canvases, a_h_u, a_w_u, size_idx):
+        @_ft.partial(jax.jit, static_argnames=("m",))
+        def fn(params, canvases, a_h_u, a_w_u, size_idx, m=1):
             x = device_preprocess_indexed(
                 canvases, a_h_u, a_w_u, size_idx, out_dtype=dtype
             )
-            return encode_image(params, x, spec, compute_dtype=dtype)
+            return encode_image(params, x, spec, compute_dtype=dtype, seq_merge=m)
 
-        return fn
+        def dispatch(params, canvases, a_h_u, a_w_u, size_idx):
+            m = want_merge if canvases.shape[0] % 2 == 0 else 1
+            return fn(params, canvases, a_h_u, a_w_u, size_idx, m=m)
+
+        return dispatch
 
     @functools.cached_property
     def _encode_sharding(self):

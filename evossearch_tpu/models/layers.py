@@ -60,12 +60,19 @@ def _dense(x: jax.Array, kernel: jax.Array, bias: jax.Array | None) -> jax.Array
     return y.astype(x.dtype)
 
 
-def attention(params: dict, x: jax.Array, heads: int, causal: bool) -> jax.Array:
+def attention(
+    params: dict, x: jax.Array, heads: int, causal: bool,
+    mask: jax.Array | None = None,
+) -> jax.Array:
     """Multi-head self-attention. x: (B, T, W).
 
     q/k/v projections run as ONE (W, 3W) GEMM (params["wqkv"]) — measured
     ~12% faster than three separate GEMMs on v5e at ViT-B/32 shapes, and
     numerically identical.
+
+    ``mask``: optional additive (1, 1, T, T) float32 logits mask (used by
+    the sequence-merge optimization in clip.py to run several images as
+    one masked sequence).
     """
     B, T, W = x.shape
     head_dim = W // heads
@@ -80,9 +87,11 @@ def attention(params: dict, x: jax.Array, heads: int, causal: bool) -> jax.Array
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * (head_dim ** -0.5)
+    if mask is not None:
+        logits = logits + mask
     if causal:
-        mask = jnp.tril(jnp.ones((T, T), dtype=bool))
-        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        causal_mask = jnp.tril(jnp.ones((T, T), dtype=bool))
+        logits = jnp.where(causal_mask, logits, jnp.finfo(jnp.float32).min)
     weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(B, T, W)
@@ -95,19 +104,27 @@ def mlp(params: dict, x: jax.Array) -> jax.Array:
     return _dense(h, params["w2"], params["b2"])
 
 
-def block(params: dict, x: jax.Array, heads: int, causal: bool) -> jax.Array:
+def block(
+    params: dict, x: jax.Array, heads: int, causal: bool,
+    mask: jax.Array | None = None,
+) -> jax.Array:
     """Pre-LN residual transformer block (OpenAI CLIP ordering)."""
-    x = x + attention(params["attn"], layer_norm(params["ln_1"], x), heads, causal)
+    x = x + attention(
+        params["attn"], layer_norm(params["ln_1"], x), heads, causal, mask
+    )
     x = x + mlp(params["mlp"], layer_norm(params["ln_2"], x))
     return x
 
 
-def transformer(stacked_params: dict, x: jax.Array, cfg: TowerConfig) -> jax.Array:
+def transformer(
+    stacked_params: dict, x: jax.Array, cfg: TowerConfig,
+    mask: jax.Array | None = None,
+) -> jax.Array:
     """Run `cfg.layers` blocks whose params are stacked on a leading axis."""
     fn = jax.checkpoint(block, static_argnums=(2, 3)) if cfg.remat else block
 
     def body(h, layer_params):
-        return fn(layer_params, h, cfg.heads, cfg.causal), None
+        return fn(layer_params, h, cfg.heads, cfg.causal, mask), None
 
     x, _ = jax.lax.scan(body, x, stacked_params)
     return x

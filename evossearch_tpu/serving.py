@@ -8,15 +8,20 @@ bench.py measures ~20x amortization on this rig). The MicroBatcher
 collects concurrent same-folder searches for a few milliseconds and
 executes them as one batched top-k dispatch.
 
-Single queries pay at most ``window_ms`` extra latency; bursts win the
-full amortization. Searches against different folders are grouped per
+Batching is NATURAL (continuous): a submitted query is dispatched
+immediately when the worker is idle — a solo query pays ~zero extra
+latency (the round-1 design slept a fixed window before EVERY dispatch)
+— and queries arriving while a dispatch is in flight accumulate and go
+out as the next batch, so bursts amortize automatically. The device
+dispatch duration itself is the batching window. ``window_ms`` remains
+the enable/disable knob (engine builds no batcher at 0) but no longer
+adds latency. Searches against different folders are grouped per
 folder, preserving result equivalence with the unbatched path (tested).
 """
 
 from __future__ import annotations
 
 import threading
-import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 
@@ -47,7 +52,8 @@ class MicroBatcher:
         self, execute_batch, window_ms: float = 2.0, max_batch: int = 64
     ):
         self._execute_batch = execute_batch
-        self._window_s = window_ms / 1e3
+        # window_ms kept as the enable knob / API surface; batching is
+        # natural (see module docstring) so it adds no latency here.
         self._max_batch = max_batch
         self._lock = threading.Lock()
         self._queue: list[_Pending] = []
@@ -84,8 +90,6 @@ class MicroBatcher:
             if self._stop:
                 return
             self._wake.clear()
-            # batching window: let concurrent requests pile up
-            time.sleep(self._window_s)
             while True:
                 with self._lock:
                     if not self._queue:

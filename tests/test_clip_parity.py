@@ -278,3 +278,17 @@ def test_full_scale_b32_converter_parity():
           f"max_abs_txt={np.abs(j_txt - t_txt).max():.2e}")
     np.testing.assert_allclose(j_img, t_img, atol=5e-5, rtol=1e-3)
     np.testing.assert_allclose(j_txt, t_txt, atol=5e-5, rtol=1e-3)
+
+
+def test_seq_merge_equivalent(jax_params):
+    """seq_merge runs g images as one masked sequence; outputs must match
+    the unmerged path (identical math — off-block softmax weights are
+    exactly zero)."""
+    images = np.concatenate([_rand_images(3), _rand_images(3)])  # B=6
+    base = np.asarray(encode_image(jax_params, images, TINY))
+    merged = np.asarray(encode_image(jax_params, images, TINY, seq_merge=2))
+    np.testing.assert_allclose(merged, base, atol=2e-6, rtol=1e-5)
+    merged3 = np.asarray(encode_image(jax_params, images, TINY, seq_merge=3))
+    np.testing.assert_allclose(merged3, base, atol=2e-6, rtol=1e-5)
+    with pytest.raises(ValueError):
+        encode_image(jax_params, images[:5], TINY, seq_merge=2)

@@ -2,6 +2,7 @@
 kernel, actual grouping of concurrent requests, per-folder isolation."""
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -29,6 +30,8 @@ def test_microbatcher_groups_and_matches_oracle():
 
     def execute(folder, queries, k):
         calls.append((folder, queries.shape[0]))
+        time.sleep(0.03)  # simulate a device dispatch: while it runs,
+        # concurrent submissions accumulate and batch naturally
         scores = queries @ corpora[folder].T
         order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
         return np.take_along_axis(scores, order, axis=1), order
