@@ -127,8 +127,7 @@ def bench_encode_l14() -> None:
     reps = 8
     t0 = time.perf_counter()
     outs = [fwd(params, images) for _ in range(reps)]
-    for out in outs:
-        np.asarray(out)
+    np.asarray(outs[-1])  # fetch-last: sustained throughput (see bench_encode)
     dt = time.perf_counter() - t0
     log(f"encode ViT-L/14 bf16: {reps * batch / dt:.0f} images/sec/chip "
         f"(batch {batch})")
@@ -155,13 +154,16 @@ def bench_encode() -> None:
 
     _sync(fwd(params, images))
     reps = 20
+    # Sustained throughput: fetch only the LAST result. Each np.asarray
+    # pays this rig's ~29ms relay floor but OVERLAPS later dispatches, so
+    # fetch-every-rep measures max(device_time, fetch) per rep — an
+    # artifact that understated round-1 numbers by ~1.6x.
     t0 = time.perf_counter()
     outs = [fwd(params, images) for _ in range(reps)]
-    for out in outs:
-        np.asarray(out)
+    np.asarray(outs[-1])
     dt = time.perf_counter() - t0
     log(f"encode ViT-B/32 bf16: {reps * batch / dt:.0f} images/sec/chip "
-        f"(batch {batch}, {reps} reps) [target >= 1000]")
+        f"(batch {batch}, {reps} reps, seq_merge=2) [target >= 1000]")
 
 
 class _PhaseTimeout(Exception):
@@ -270,21 +272,28 @@ def bench_ivf() -> None:
     from evossearch_tpu.index.ivf import IVFIndex
     from evossearch_tpu.index.search import exact_search_batch
 
+    import jax
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(0)
     n, d, n_clusters = 1_000_000, DIM, 1000
-    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
-    emb = centers[rng.integers(0, n_clusters, n)]
-    emb += 0.25 * rng.standard_normal((n, d)).astype(np.float32)
-    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    # Corpus generated ON DEVICE: shipping 2 GB through this rig's relay
+    # (~11 MB/s) alone would blow the phase budget; real hosts upload the
+    # mmap corpus once over PCIe.
+    keys = jax.random.split(jax.random.key(0), 3)
+    centers_d = jax.random.normal(keys[0], (n_clusters, d), jnp.float32)
+    ids = jax.random.randint(keys[1], (n,), 0, n_clusters)
+    emb_d = centers_d[ids] + 0.25 * jax.random.normal(keys[2], (n, d), jnp.float32)
+    emb_d = emb_d / jnp.linalg.norm(emb_d, axis=1, keepdims=True)
 
     t0 = time.perf_counter()
-    ivf = IVFIndex.build(emb, nlist=1000, iters=10)
+    ivf = IVFIndex.build(emb_d, nlist=1000, iters=10)
     build_s = time.perf_counter() - t0
-    qs = emb[rng.integers(0, n, 32)] + 0.05 * rng.standard_normal(
-        (32, d)
-    ).astype(np.float32)
+    q_ids = rng.integers(0, n, 32)
+    qs = np.asarray(emb_d[jnp.asarray(q_ids)])
+    qs += 0.05 * rng.standard_normal((32, d)).astype(np.float32)
     qs /= np.linalg.norm(qs, axis=1, keepdims=True)
-    exact_s, exact_i = exact_search_batch(emb, qs, K)
+    exact_s, exact_i = exact_search_batch(emb_d, qs, K)
     hits = total = 0
     t0 = time.perf_counter()
     for row, q in enumerate(qs):
@@ -298,12 +307,17 @@ def bench_ivf() -> None:
 
 
 def main() -> None:
-    for extra in (bench_encode, bench_encode_l14, bench_index, bench_ivf,
-                  bench_search_10m):
+    import gc
+
+    # 10M runs BEFORE ivf: the IVF bucket tensor is ~4 GB and interleaving
+    # it with the 10 GB corpus fragments HBM enough to slow the sweep.
+    for extra in (bench_encode, bench_encode_l14, bench_index,
+                  bench_search_10m, bench_ivf):
         try:
             _run_phase(extra)
         except Exception as e:  # extras must not kill the primary metric
             log(f"{extra.__name__} failed: {e}")
+        gc.collect()
     stats = _run_phase(bench_search, budget_s=420)
     value = stats["per_query_ms"]
     print(json.dumps({

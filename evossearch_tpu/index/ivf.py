@@ -115,46 +115,60 @@ class IVFIndex:
 
     @classmethod
     def build(
-        cls, emb: np.ndarray, nlist: int = 0, iters: int = 10,
+        cls, emb, nlist: int = 0, iters: int = 10,
         bucket_factor: float = 2.0, seed: int = 0,
     ) -> "IVFIndex":
-        """Train centroids and lay out buckets from an (N, d) matrix."""
-        emb = np.asarray(emb, np.float32)
-        n, d = emb.shape
+        """Train centroids and lay out buckets from an (N, d) matrix.
+
+        ``emb`` may be a numpy array (uploaded once) or a device array
+        (zero host round trips). Everything corpus-sized — k-means,
+        assignment, the sort-based bucket layout, and the bucket scatter —
+        runs ON DEVICE; only O(N) int32 index vectors touch the host.
+        (The first version scattered buckets in numpy, which re-shipped a
+        2x-corpus-sized tensor to the device after a full download.)
+        """
+        emb_dev = jnp.asarray(emb)
+        if emb_dev.dtype != jnp.float32:
+            emb_dev = emb_dev.astype(jnp.float32)
+        n, d = emb_dev.shape
         nlist = nlist or max(1, int(np.sqrt(n)))
         nlist = min(nlist, n)
         rng = np.random.default_rng(seed)
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb_n = emb / np.maximum(norms, 1e-12)
-        init = emb_n[rng.choice(n, size=nlist, replace=False)]
-        emb_dev = jnp.asarray(emb_n)
-        cent = np.asarray(_kmeans(emb_dev, jnp.asarray(init), iters))
-        assign = np.asarray(_assign(emb_dev, jnp.asarray(cent)))
-        del emb_dev
+        norms = jnp.linalg.norm(emb_dev, axis=1, keepdims=True)
+        emb_n = emb_dev / jnp.maximum(norms, 1e-12)
+        init = emb_n[jnp.asarray(rng.choice(n, size=nlist, replace=False))]
+        cent = _kmeans(emb_n, init, iters)
+        assign = _assign(emb_n, cent)
+        del emb_n
 
         # Vectorized bucket layout (a per-row Python loop dies at 1M+):
         # stable-sort rows by cluster, compute each row's position within
         # its cluster, and scatter rows below the cap into the dense
         # buckets; the rest spill to the exact-scanned tail.
         cap = max(1, int(np.ceil(n / nlist * bucket_factor)))
-        order = np.argsort(assign, kind="stable")
+        order = jnp.argsort(assign, stable=True)
         sorted_assign = assign[order]
-        starts = np.searchsorted(sorted_assign, np.arange(nlist))
-        pos_within = np.arange(n) - starts[sorted_assign]
-        in_bucket = pos_within < cap
-        rows_in, rows_spill = order[in_bucket], order[~in_bucket]
-        buckets = np.zeros((nlist, cap, d), np.float32)
-        bucket_ids = np.full((nlist, cap), -1, np.int32)
-        buckets[sorted_assign[in_bucket], pos_within[in_bucket]] = emb[rows_in]
-        bucket_ids[sorted_assign[in_bucket], pos_within[in_bucket]] = rows_in
-        spill = np.ascontiguousarray(emb[rows_spill], np.float32)
-        spill_ids = rows_spill.astype(np.int32)
+        starts = jnp.searchsorted(sorted_assign, jnp.arange(nlist))
+        pos_within = jnp.arange(n) - starts[sorted_assign]
+        # spill membership is data-dependent -> sizes must come to host
+        in_bucket = np.asarray(pos_within < cap)
+        order_h = np.asarray(order)
+        rows_in = jnp.asarray(order_h[in_bucket])
+        rows_spill = jnp.asarray(order_h[~in_bucket])
+        sa_in = sorted_assign[jnp.asarray(np.flatnonzero(in_bucket))]
+        pos_in = pos_within[jnp.asarray(np.flatnonzero(in_bucket))]
+        buckets = jnp.zeros((nlist, cap, d), jnp.float32)
+        buckets = buckets.at[sa_in, pos_in].set(emb_dev[rows_in])
+        bucket_ids = jnp.full((nlist, cap), -1, jnp.int32)
+        bucket_ids = bucket_ids.at[sa_in, pos_in].set(rows_in.astype(jnp.int32))
+        spill = emb_dev[rows_spill]
+        spill_ids = rows_spill.astype(jnp.int32)
         return cls(
-            centroids=jnp.asarray(cent),
-            buckets=jnp.asarray(buckets),
-            bucket_ids=jnp.asarray(bucket_ids),
-            spill=jnp.asarray(spill),
-            spill_ids=jnp.asarray(np.asarray(spill_ids, np.int32)),
+            centroids=cent,
+            buckets=buckets,
+            bucket_ids=bucket_ids,
+            spill=spill,
+            spill_ids=spill_ids,
             n=n, nlist=nlist,
         )
 
