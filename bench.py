@@ -244,23 +244,16 @@ def bench_index() -> None:
             f"(host: {__import__('os').cpu_count()} cores)")
         log(f"bench_index stage split (seconds, stages overlap): {split}")
 
-        # Device-pipeline-only ceiling: the same REAL prepared batches,
-        # re-encoded without host decode in the loop.
-        from evossearch_tpu.preprocess import prepare_batch
-        from evossearch_tpu.preprocess.io import load_batch_rgb
-
-        paths = sorted(__import__("pathlib").Path(tmp).glob("*.jpg"))[:256]
-        arrays = load_batch_rgb(paths, min_short_side=448, fast=cfg.FAST_DECODE)
-        prepared = prepare_batch([a for a in arrays if a is not None],
-                                 target=eng.spec.image_size)
-        eng.encode_prepared(*prepared)  # compile
-        reps = 6
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            eng.encode_prepared(*prepared)
-        dt = time.perf_counter() - t0
-        log(f"bench_index DEVICE-ONLY (prepared batches of 256): "
-            f"{reps * 256 / dt:.0f} img/s")
+        # The device ceiling for the encode stage is bench_encode's number
+        # (11k+ img/s from HBM-resident batches). Re-uploading prepared
+        # canvases per rep here would measure this rig's ~11 MB/s relay,
+        # not the pipeline, so the end-to-end number + stage split above
+        # is the whole story: on this 1-core host it is decode/upload
+        # bound; on a production TPU host (N decode cores, PCIe) the
+        # decode threads and double buffering scale the same pipeline to
+        # the host-core budget.
+        log("bench_index: device encode ceiling = bench_encode line above; "
+            "e2e here is host-decode/relay-upload bound by the rig")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -290,7 +283,7 @@ def bench_ivf() -> None:
     ivf = IVFIndex.build(emb_d, nlist=1000, iters=10)
     build_s = time.perf_counter() - t0
     q_ids = rng.integers(0, n, 32)
-    qs = np.asarray(emb_d[jnp.asarray(q_ids)])
+    qs = np.array(emb_d[jnp.asarray(q_ids)])  # np.array: asarray is read-only
     qs += 0.05 * rng.standard_normal((32, d)).astype(np.float32)
     qs /= np.linalg.norm(qs, axis=1, keepdims=True)
     exact_s, exact_i = exact_search_batch(emb_d, qs, K)
@@ -311,10 +304,11 @@ def main() -> None:
 
     # 10M runs BEFORE ivf: the IVF bucket tensor is ~4 GB and interleaving
     # it with the 10 GB corpus fragments HBM enough to slow the sweep.
+    budgets = {"bench_index": 480}
     for extra in (bench_encode, bench_encode_l14, bench_index,
                   bench_search_10m, bench_ivf):
         try:
-            _run_phase(extra)
+            _run_phase(extra, budget_s=budgets.get(extra.__name__, 300))
         except Exception as e:  # extras must not kill the primary metric
             log(f"{extra.__name__} failed: {e}")
         gc.collect()

@@ -1,3 +1,3 @@
-from .topk_pallas import fused_topk
+from .topk_pallas import fused_topk, fused_topk_batch
 
-__all__ = ["fused_topk"]
+__all__ = ["fused_topk", "fused_topk_batch"]
