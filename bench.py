@@ -94,12 +94,12 @@ def bench_search_10m() -> None:
     import jax
     import jax.numpy as jnp
 
-    from evossearch_tpu.index.search import exact_search_batch
+    from evossearch_tpu.index.search import best_exact_search_batch
 
     emb = jax.random.normal(jax.random.key(3), (10_000_000, DIM), jnp.bfloat16)
     queries = jax.random.normal(jax.random.key(4), (QUERY_BATCH, DIM), jnp.float32)
-    exact_search_batch(emb, queries, K)  # compile
-    batch_ms = _p50(lambda: exact_search_batch(emb, queries, K)[0], iters=8)
+    best_exact_search_batch(emb, queries, K)  # compile
+    batch_ms = _p50(lambda: best_exact_search_batch(emb, queries, K)[0], iters=8)
     log(f"10M vectors bf16, batched {QUERY_BATCH}: total p50={batch_ms:.1f}ms "
         f"-> {batch_ms / QUERY_BATCH:.3f} ms/query")
 
