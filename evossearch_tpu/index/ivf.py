@@ -217,14 +217,32 @@ class IVFIndex:
         k = min(k, self.n)
         if k == 0:
             return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
-        s, i = _ivf_search(
+        args = (
             self.centroids, self.buckets, self.bucket_ids,
             self.spill, self.spill_ids,
             jnp.asarray(query, jnp.float32), k, nprobe,
         )
-        s, i = np.asarray(s), np.asarray(i)
+        if self.n < (1 << 24):  # ids exact as f32 values below 2^24
+            packed = np.asarray(_ivf_search_packed(*args))
+            s = packed[:k]
+            i = packed[k:].astype(np.int64)
+        else:
+            s, i = (np.asarray(x) for x in _ivf_search(*args))
         valid = i >= 0  # drop bucket padding when probes cover < k rows
         return s[valid], i[valid]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_search_packed(centroids, buckets, bucket_ids, spill, spill_ids,
+                       query, k: int, nprobe: int):
+    """_ivf_search packed into one (2k,) f32 array [scores | float(ids)]:
+    a single device->host fetch instead of two (each fetch pays this
+    rig's ~29ms relay floor). Ids ride as f32 VALUES — exact below 2**24
+    rows, and -1 padding survives the float round trip."""
+    s, i = _ivf_search(
+        centroids, buckets, bucket_ids, spill, spill_ids, query, k, nprobe
+    )
+    return jnp.concatenate([s, i.astype(jnp.float32)])
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
