@@ -10,20 +10,22 @@ kernel level. Two kernels:
                        corpus in ONE pass over HBM. The embedding matrix
                        streams HBM -> VMEM tile by tile; each tile's
                        (128, T) scores are computed on the MXU and reduced
-                       IN REGISTERS/VMEM to per-256-row-block top-4
-                       (scores + top-3 indices). The (Q, N) score matrix —
-                       which the XLA certified path writes to and re-reads
-                       from HBM three times — never exists. Traffic is one
-                       read of the corpus: the bandwidth speed of light.
+                       IN REGISTERS/VMEM to per-256-row-block top-LEVELS
+                       scores (+ top-(LEVELS-1) indices). The (Q, N) score
+                       matrix — which the XLA certified path writes to and
+                       re-reads from HBM three times — never exists.
+                       Traffic is one read of the corpus: the bandwidth
+                       speed of light.
 
-Exactness of the batched kernel (certified): candidates are the top-3 of
-every 256-row block, so an element can only be missed if it ranks 4th or
-lower in its block, i.e. missed <= block's 4th-best. The final merge
-certifies per query that every block's 4th-best < the selected k-th score;
-then nothing missed can belong to the top-k. Failure needs >= 4 of the
-global top-~k elements to share one 256-row block (P ~ C(48,4)/L^3 — never
-at corpus scale; adversarial all-tie inputs do trip it) and is caught and
-routed to the exact XLA fallback per query.
+Exactness of the batched kernel (certified): candidates are the
+top-(LEVELS-1) of every 256-row block, so an element can only be missed if
+it ranks LEVELS-th or lower in its block, i.e. missed <= block's
+LEVELS-th-best. The final merge certifies per query that every block's
+LEVELS-th-best < the selected k-th score; then nothing missed can belong
+to the top-k. Failure needs >= LEVELS of the global top-~k elements to
+share one 256-row block (P ~ C(48,LEVELS)/L^(LEVELS-1) — never at corpus
+scale; adversarial all-tie inputs do trip it) and is caught and routed to
+the exact XLA fallback per query.
 
 Tie contract everywhere: (score desc, global index asc) — block top-4
 selects lowest index among equals, candidates are laid out so candidate
@@ -171,8 +173,24 @@ def fused_topk(
 
 # -- batched kernel: one HBM pass, per-block top-4, certified-exact merge --
 
-# Rows per reduction block: each block yields 4 candidate scores + 3 indices.
+# Rows per reduction block: each block yields LEVELS candidate scores +
+# LEVELS-1 indices; the last score is the certification bound only.
 SUB_ROWS = 256
+# Selection depth per block. Candidates = top-(LEVELS-1) of each 256-row
+# block; exactness fails (-> caught, exact fallback) only when >= LEVELS
+# of the global top-~k land in ONE block — P ~ C(48,LEVELS)/L^(LEVELS-1)
+# per query, L = N/256 blocks. Depth 3 cuts the kernel's VPU selection
+# work by one full max-extract pass, but its failure rate only vanishes
+# when L is large: at N=10M it is ~1e-5/query, at N=50k it is ~0.5/query
+# (every batch would pay the exact fallback). So depth is chosen from the
+# corpus size: 3 above _LEVELS3_MIN_ROWS (P < ~1e-4/query there), else 4.
+LEVELS = 4
+_LEVELS3_MIN_ROWS = 4 << 20  # ~4.2M rows
+
+
+def default_levels(n_rows: int) -> int:
+    """Selection depth for an ``n_rows`` corpus (see LEVELS note)."""
+    return 3 if n_rows >= _LEVELS3_MIN_ROWS else LEVELS
 # Corpus rows per grid step (VMEM budget: E tile f32 2048x768x4 = 6 MB
 # double-buffered by the pipeline + (128, 2048) f32 scores = 1 MB).
 TILE_ROWS = 2048
@@ -180,8 +198,10 @@ _SUBS_PER_TILE = TILE_ROWS // SUB_ROWS  # 8 = f32 min sublane tile
 _INT_MAX = np.int32(2**31 - 1)
 
 
-def _make_batch_kernel(n: int, d: int, compute_dtype):
-    def kernel(q_ref, e_ref, s1, s2, s3, s4, i1, i2, i3):
+def _make_batch_kernel(n: int, d: int, compute_dtype, levels: int):
+    def kernel(q_ref, e_ref, *out_refs):
+        s_refs = out_refs[:levels]
+        i_refs = out_refs[levels : 2 * levels - 1]
         i = pl.program_id(0)
         q = q_ref[:].astype(compute_dtype)  # (LANES, d)
         # (LANES, TILE_ROWS) tile scores on the MXU, queries on sublanes,
@@ -204,33 +224,65 @@ def _make_batch_kernel(n: int, d: int, compute_dtype):
             precision=precision,
         )
         base = i * TILE_ROWS
-        outs = ((s1, i1), (s2, i2), (s3, i3), (s4, None))
-        for s in range(_SUBS_PER_TILE):
-            sub_base = base + s * SUB_ROWS
-            work = scores[:, s * SUB_ROWS : (s + 1) * SUB_ROWS]
-            col = (
-                jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB_ROWS), 1)
-                + sub_base
-            )
-            work = jnp.where(col < n, work, NEG_INF)
-            # 4-level selection, lowest index among equal scores.
-            for s_out, i_out in outs:
-                m = jnp.max(work, axis=1)  # (LANES,)
-                is_m = work == m[:, None]
-                s_out[s, :] = m
-                if i_out is not None:
-                    sel = jnp.min(jnp.where(is_m, col, _INT_MAX), axis=1)
-                    i_out[s, :] = sel
+        # One local iota shared by every sub-block and level (hoisted —
+        # re-materializing it per sub-block was measurable VPU time).
+        col_local = jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB_ROWS), 1)
+
+        def select(mask_tail: bool) -> None:
+            for s in range(_SUBS_PER_TILE):
+                sub_base = base + s * SUB_ROWS
+                work = scores[:, s * SUB_ROWS : (s + 1) * SUB_ROWS]
+                if mask_tail:
                     work = jnp.where(
-                        is_m & (col == sel[:, None]), NEG_INF, work
+                        jnp.minimum(n - sub_base, SUB_ROWS) > col_local,
+                        work, NEG_INF,
                     )
+                # `levels`-deep selection, lowest index among equal
+                # scores. Levels 0..levels-2 emit (score, index)
+                # candidates; the last level emits its score only (the
+                # certification bound).
+                for lvl in range(levels):
+                    m = jnp.max(work, axis=1)  # (LANES,)
+                    s_refs[lvl][s, :] = m
+                    if lvl < levels - 1:
+                        is_m = work == m[:, None]
+                        sel = jnp.min(
+                            jnp.where(is_m, col_local, _INT_MAX), axis=1
+                        )
+                        i_refs[lvl][s, :] = sel + sub_base
+                        # sel is a unique column, so matching on the
+                        # column alone knocks out exactly that element
+                        # (the old `is_m &` conjunct was redundant work).
+                        work = jnp.where(
+                            col_local == sel[:, None], NEG_INF, work
+                        )
+
+        if n % TILE_ROWS == 0:
+            select(mask_tail=False)
+        else:
+            # Tail masking costs two extra passes per sub-block; only the
+            # final tile overlaps the corpus tail, so branch per tile and
+            # pay masking there alone.
+            is_tail = base + TILE_ROWS > n
+
+            @pl.when(is_tail)
+            def _():
+                select(mask_tail=True)
+
+            @pl.when(jnp.logical_not(is_tail))
+            def _():
+                select(mask_tail=False)
 
     return kernel
 
 
-def _block_candidates(emb: jax.Array, queries_padded: jax.Array, interpret: bool):
-    """Run the one-pass kernel: (L, LANES) top-4 scores + top-3 indices
-    per 256-row block, L = cdiv(N, 256) padded to the tile grid."""
+def _block_candidates(
+    emb: jax.Array, queries_padded: jax.Array, interpret: bool,
+    levels: int = LEVELS,
+):
+    """Run the one-pass kernel: (L, LANES) top-``levels`` scores +
+    top-``levels-1`` indices per 256-row block, L = cdiv(N, 256) padded to
+    the tile grid. Returns (scores tuple, indices tuple, cert scores)."""
     n, d = emb.shape
     if d % LANES:
         raise ValueError(f"d={d} must be a multiple of {LANES}")
@@ -242,15 +294,15 @@ def _block_candidates(emb: jax.Array, queries_padded: jax.Array, interpret: bool
     f32 = jax.ShapeDtypeStruct((rows_l, LANES), jnp.float32)
     i32 = jax.ShapeDtypeStruct((rows_l, LANES), jnp.int32)
     compute_dtype = emb.dtype if emb.dtype == jnp.bfloat16 else jnp.float32
-    return pl.pallas_call(
-        _make_batch_kernel(n, d, compute_dtype),
+    outs = pl.pallas_call(
+        _make_batch_kernel(n, d, compute_dtype, levels),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((LANES, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_ROWS, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(out_block,) * 7,
-        out_shape=(f32, f32, f32, f32, i32, i32, i32),
+        out_specs=(out_block,) * (2 * levels - 1),
+        out_shape=(f32,) * levels + (i32,) * (levels - 1),
         cost_estimate=pl.CostEstimate(
             flops=2 * LANES * n * d,
             bytes_accessed=n * d * emb.dtype.itemsize,
@@ -258,11 +310,13 @@ def _block_candidates(emb: jax.Array, queries_padded: jax.Array, interpret: bool
         ),
         interpret=interpret,
     )(queries_padded, emb)
+    return outs[: levels - 1], outs[levels : 2 * levels - 1], outs[levels - 1]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "levels"))
 def fused_topk_batch(
-    emb: jax.Array, queries: jax.Array, k: int, interpret: bool = False
+    emb: jax.Array, queries: jax.Array, k: int, interpret: bool = False,
+    levels: int | None = None,
 ):
     """Batched certified-exact top-k in one pass over the corpus.
 
@@ -274,6 +328,9 @@ def fused_topk_batch(
     """
     n, d = emb.shape
     q = queries.shape[0]
+    if levels is None:
+        levels = default_levels(n)
+    nc = levels - 1  # candidates kept per 256-row block
     if k > LANES:
         raise ValueError(f"k={k} > {LANES} not supported by the kernel")
     if q > LANES:
@@ -283,28 +340,30 @@ def fused_topk_batch(
         queries = jnp.concatenate(
             [queries, jnp.zeros((LANES - q, d), jnp.float32)]
         )
-    s1, s2, s3, s4, i1, i2, i3 = _block_candidates(emb, queries, interpret)
-    # Candidate layout (Q, L*3) interleaved [block0: lvl1,lvl2,lvl3,
+    ss, ii, s_cert = _block_candidates(emb, queries, interpret, levels)
+    # Candidate layout (Q, L*nc) interleaved [block0: lvl1..lvl_nc,
     # block1: ...]: position order == global-index order for equal scores
     # (levels within a block are index-ascending on ties by construction,
     # blocks are index-ascending by layout), so lax.top_k's lowest-position
     # tie preference implements the lowest-index contract.
-    cand_s = jnp.stack([s1, s2, s3], axis=1)  # (L, 3, LANES)
-    cand_i = jnp.stack([i1, i2, i3], axis=1)
+    cand_s = jnp.stack(ss, axis=1)  # (L, nc, LANES)
+    cand_i = jnp.stack(ii, axis=1)
     rows_l = cand_s.shape[0]
-    cand_s = cand_s.transpose(2, 0, 1).reshape(LANES, rows_l * 3)
-    cand_i = cand_i.transpose(2, 0, 1).reshape(LANES, rows_l * 3)
-    kk = min(k, rows_l * 3)
+    cand_s = cand_s.transpose(2, 0, 1).reshape(LANES, rows_l * nc)
+    cand_i = cand_i.transpose(2, 0, 1).reshape(LANES, rows_l * nc)
+    kk = min(k, rows_l * nc)
     from ..index.search import blocked_top_k  # no cycle: search is jax-only
 
     top_s, pos = jax.vmap(lambda s: blocked_top_k(s, kk))(cand_s)
     top_i = jnp.take_along_axis(cand_i, pos, axis=1)
-    if kk < k:  # tiny corpus: top-3-per-block can't fill k rows; callers
-        # route N<3L cases to the plain path, this keeps shapes total
+    if kk < k:  # tiny corpus: nc-per-block can't fill k rows; callers
+        # route those cases to the plain path, this keeps shapes total
         pad = k - kk
         top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=NEG_INF)
         top_i = jnp.pad(top_i, ((0, 0), (0, pad)), constant_values=-1)
-    # Certification: nothing outside the candidates can reach the top-k.
+    # Certification: nothing outside the candidates can reach the top-k
+    # (a missed element ranks > nc in its block, i.e. <= that block's
+    # (nc+1)-th best, which this asserts is strictly below the k-th pick).
     m = top_s[:, min(k, n) - 1]
-    ok = jnp.all(s4.T < m[:, None], axis=1)
+    ok = jnp.all(s_cert.T < m[:, None], axis=1)
     return ok[:q], top_s[:q, :k], top_i[:q, :k]

@@ -161,6 +161,30 @@ def test_batch_bfloat16_certified():
     np.testing.assert_array_equal(i[ok], oi_[ok])
 
 
+def test_levels3_certified_rows_exact_and_depth_policy():
+    # Depth-3 selection (top-2 per block + cert on the 3rd-best) is the
+    # big-corpus kernel; at small n most rows fail certification for
+    # k=48 (>=3 of the top-k share a block), so exactness of CERTIFIED
+    # rows is validated with a small k where blocks are plentiful.
+    from evossearch_tpu.ops.topk_pallas import (
+        _LEVELS3_MIN_ROWS, default_levels, fused_topk_batch,
+    )
+
+    assert default_levels(50_000) == 4
+    assert default_levels(_LEVELS3_MIN_ROWS) == 3
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((20_000, 128)).astype(np.float32)
+    queries = rng.standard_normal((8, 128)).astype(np.float32)
+    ok, s, i = fused_topk_batch(
+        jnp.asarray(emb), jnp.asarray(queries), 4, interpret=True, levels=3
+    )
+    ok, s, i = np.asarray(ok), np.asarray(s), np.asarray(i)
+    assert ok.mean() > 0.8  # C(4,3)/79^2 per query — cert nearly always
+    os_, oi_ = _oracle_batch(emb, queries, 4)
+    np.testing.assert_array_equal(i[ok], oi_[ok])
+    np.testing.assert_allclose(s[ok], os_[ok], rtol=1e-5, atol=1e-4)
+
+
 def test_pallas_search_batch_fallback_covers_uncertified():
     # The public wrapper must return EXACT results even when certification
     # fails (all-ties) by routing failed rows to the XLA fallback.
