@@ -252,29 +252,35 @@ def exact_search_host_reader(reader, query: np.ndarray, k: int):
     return cand_s[order], cand_i[order]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "tree"))
 def _pallas_topk_packed(emb: jax.Array, queries: jax.Array, k: int,
-                        interpret: bool = False):
+                        interpret: bool = False, tree: bool = False):
     """Pallas one-pass kernel + packed (Q, 2k+1) f32 result:
     [scores | float(indices) | ok] — one device->host fetch. Indices ride
     as f32 values (exact below 2**24; see _PACK_MAX_ROWS note above)."""
-    from ..ops.topk_pallas import fused_topk_batch
+    from ..ops.topk_pallas import fused_topk_batch, fused_topk_batch_tree
 
-    ok, s, i = fused_topk_batch(emb, queries, k, interpret=interpret)
+    kernel = fused_topk_batch_tree if tree else fused_topk_batch
+    ok, s, i = kernel(emb, queries, k, interpret=interpret)
     return jnp.concatenate(
         [s, i.astype(jnp.float32), ok[:, None].astype(jnp.float32)], axis=1
     )
 
 
 def pallas_search_batch(emb, queries: np.ndarray, k: int):
-    """Exact batched top-k via the Pallas one-pass kernel.
+    """Exact batched top-k via the Pallas one-pass kernels.
 
-    Certified-exact per query; the rare uncertified rows (adversarial mass
-    ties, or corpora too small for the kernel's block-candidate scheme —
-    which the engine routes elsewhere anyway) fall back to the exact XLA
+    Multi-million-row corpora take the halving-tree kernel (bandwidth-
+    bound: 669 GB/s at 10M bf16 on v5e vs 226 GB/s for the block kernel);
+    smaller ones the per-block selection kernel, whose certification holds
+    at mid scale. Certified-exact per query; the rare uncertified rows
+    (adversarial mass ties, or corpora too small for the candidate scheme
+    — which the engine routes elsewhere anyway) fall back to the exact XLA
     path. Delegates entirely to exact_search_batch when the kernel's shape
     contract (d % 128 == 0, k <= 128) doesn't hold.
     """
+    from ..ops.topk_pallas import use_tree_kernel
+
     n, d = emb.shape
     k = min(k, n)
     if d % 128 or k > 128 or n < 512 or n >= _PACK_MAX_ROWS:
@@ -285,12 +291,13 @@ def pallas_search_batch(emb, queries: np.ndarray, k: int):
     emb = jnp.asarray(emb)
     queries_d = jnp.asarray(queries, dtype=jnp.float32)
     interpret = jax.default_backend() == "cpu"
+    tree = use_tree_kernel(n, k, emb.dtype)
     outs = []
     for start in range(0, queries_d.shape[0], 128):  # kernel cap: 128 lanes
         outs.append(
             np.asarray(
                 _pallas_topk_packed(
-                    emb, queries_d[start : start + 128], k, interpret
+                    emb, queries_d[start : start + 128], k, interpret, tree
                 )
             )
         )

@@ -1,3 +1,13 @@
-from .topk_pallas import fused_topk, fused_topk_batch
+from .topk_pallas import (
+    fused_topk,
+    fused_topk_batch,
+    fused_topk_batch_tree,
+    use_tree_kernel,
+)
 
-__all__ = ["fused_topk", "fused_topk_batch"]
+__all__ = [
+    "fused_topk",
+    "fused_topk_batch",
+    "fused_topk_batch_tree",
+    "use_tree_kernel",
+]

@@ -367,3 +367,272 @@ def fused_topk_batch(
     m = top_s[:, min(k, n) - 1]
     ok = jnp.all(s_cert.T < m[:, None], axis=1)
     return ok[:q], top_s[:q, :k], top_i[:q, :k]
+
+
+# -- halving-tree kernel: the bandwidth-bound formulation ----------------
+#
+# Measured on v5e (scripts/exp_topk_variants.py): a matmul + single-max
+# pass sweeps a 10M bf16 corpus at 761 GB/s, while each per-block
+# max-extract level of the kernel above costs ~1.3x the entire sweep —
+# Mosaic lowers 256-lane-wide axis-1 reductions (and the broadcast-compare
+# that follows them) very poorly. This kernel removes EVERY cross-lane
+# operation from the hot loop: tile scores (Q, T) are reduced by
+# repeatedly merging contiguous halves (pure elementwise max/select ops on
+# register-aligned slices) down to lane width 128. Each surviving lane j
+# then summarizes the "residue class" {cols c : c % 128 == j} of the tile
+# — a fixed, data-independent partition, so the same certification
+# argument as above applies with classes in place of row blocks: the
+# kernel keeps each class's top-2 (scores + global indices, lowest-index
+# tie contract via index-aware lex comparisons) plus its 3rd-best score as
+# the bound on anything missed.
+#
+# The merge over (Q, ~2*N/256) candidates uses the TPU's native ApproxTopK
+# with its own counting certificate (every candidate >= the k-th selected
+# value must appear among the fetched rows), so a recall miss can never
+# silently corrupt the result — it routes to the exact fallback like a
+# tie collision would.
+
+TREE_CLASSES = LANES
+
+
+def _tree_tile_rows(dtype) -> int:
+    """Corpus rows per tree-kernel tile. VMEM-bound: the bf16 tile is
+    16384x512x2 = 16 MB (double-buffered) + (128, 16384) f32 scores 8 MB +
+    tree intermediates; f32 tiles halve to stay inside VMEM."""
+    return 16384 if dtype == jnp.bfloat16 else 8192
+
+
+def _make_tree_kernel(n: int, d: int, compute_dtype, tile_rows: int):
+    def kernel(q_ref, e_ref, m1_ref, m2_ref, m3_ref, i1_ref, i2_ref):
+        i = pl.program_id(0)
+        q = q_ref[:].astype(compute_dtype)
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        scores = jax.lax.dot_general(
+            q, e_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (LANES queries, tile_rows)
+        base = i * tile_rows
+
+        def leaf(mask_tail: bool):
+            # Width T -> T/2: singleton -> per-slot top-2. Left cols are
+            # all lower than right cols here, so >= keeps the lower index.
+            half = tile_rows // 2
+            a = scores[:, :half]
+            b = scores[:, half:]
+            ia = jax.lax.broadcasted_iota(jnp.int32, (LANES, half), 1)
+            if mask_tail:
+                valid = n - base
+                a = jnp.where(ia < valid, a, NEG_INF)
+                b = jnp.where(ia + half < valid, b, NEG_INF)
+            take = a >= b
+            return (
+                jnp.maximum(a, b),
+                jnp.where(take, ia, ia + half),
+                jnp.minimum(a, b),
+                jnp.where(take, ia + half, ia),
+                None,  # 3rd-best appears at the first true merge
+            )
+
+        def merge(sa, sb):
+            # Top-3 of two sorted (by score desc, index asc) summaries.
+            # After the first halving the column sets interleave, so ties
+            # MUST compare indices — "prefer left" is no longer "prefer
+            # lower index". The 3rd-best is a VALUE bound only: among
+            # equal scores any selection leaves an equal value behind, so
+            # it needs no index logic (certification is strict <).
+            m1a, i1a, m2a, i2a, m3a = sa
+            m1b, i1b, m2b, i2b, m3b = sb
+            c1 = (m1a > m1b) | ((m1a == m1b) & (i1a < i1b))
+            c2a = (m2a > m1b) | ((m2a == m1b) & (i2a < i1b))
+            c2b = (m1a > m2b) | ((m1a == m2b) & (i1a < i2b))
+            m1 = jnp.where(c1, m1a, m1b)
+            i1 = jnp.where(c1, i1a, i1b)
+            m2 = jnp.where(
+                c1, jnp.where(c2a, m2a, m1b), jnp.where(c2b, m1a, m2b)
+            )
+            i2 = jnp.where(
+                c1, jnp.where(c2a, i2a, i1b), jnp.where(c2b, i1a, i2b)
+            )
+            m23 = jnp.maximum(m2a, m2b)
+            if m3a is None:
+                m3 = jnp.where(
+                    c1, jnp.where(c2a, m1b, m23), jnp.where(c2b, m23, m1a)
+                )
+            else:
+                m3 = jnp.where(
+                    c1,
+                    jnp.where(c2a, jnp.maximum(m3a, m1b), m23),
+                    jnp.where(c2b, m23, jnp.maximum(m1a, m3b)),
+                )
+            return m1, i1, m2, i2, m3
+
+        def run(mask_tail: bool) -> None:
+            state = leaf(mask_tail)
+            while state[0].shape[1] > TREE_CLASSES:
+                h = state[0].shape[1] // 2
+                sa = tuple(x if x is None else x[:, :h] for x in state)
+                sb = tuple(x if x is None else x[:, h:] for x in state)
+                state = merge(sa, sb)
+            m1, i1, m2, i2, m3 = state
+            m1_ref[:] = m1
+            m2_ref[:] = m2
+            m3_ref[:] = m3
+            i1_ref[:] = i1 + base  # global row ids
+            i2_ref[:] = i2 + base
+
+        if n % tile_rows == 0:
+            run(mask_tail=False)
+        else:
+            is_tail = base + tile_rows > n
+
+            @pl.when(is_tail)
+            def _():
+                run(mask_tail=True)
+
+            @pl.when(jnp.logical_not(is_tail))
+            def _():
+                run(mask_tail=False)
+
+    return kernel
+
+
+def _tree_candidates(
+    emb: jax.Array, queries_padded: jax.Array, tile_rows: int, interpret: bool
+):
+    """One-pass tree kernel: per (tile, residue class) top-2 scores +
+    global indices + 3rd-best bound. Output arrays (grid*LANES, 128):
+    per tile a (queries, classes) block."""
+    n, d = emb.shape
+    if d % LANES:
+        raise ValueError(f"d={d} must be a multiple of {LANES}")
+    if tile_rows < 512 or tile_rows & (tile_rows - 1):
+        raise ValueError(f"tile_rows={tile_rows} must be a power of two >= 512")
+    grid = pl.cdiv(n, tile_rows)
+    out_block = pl.BlockSpec(
+        (LANES, TREE_CLASSES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    f32 = jax.ShapeDtypeStruct((grid * LANES, TREE_CLASSES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((grid * LANES, TREE_CLASSES), jnp.int32)
+    compute_dtype = emb.dtype if emb.dtype == jnp.bfloat16 else jnp.float32
+    return pl.pallas_call(
+        _make_tree_kernel(n, d, compute_dtype, tile_rows),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((LANES, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(out_block,) * 5,
+        out_shape=(f32, f32, f32, i32, i32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * LANES * n * d,
+            bytes_accessed=n * d * emb.dtype.itemsize,
+            transcendentals=0,
+        ),
+        # The tree's live set (tile scores + the first merge level's five
+        # channels) tops Mosaic's default 16 MB scoped-VMEM budget; the
+        # large tile is the whole point (candidate count ~ 256 * N/tile),
+        # so raise the cap instead of shrinking the tile. ~70 MB measured
+        # peak incl. double-buffered corpus tiles; v5e VMEM is 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(queries_padded, emb)
+
+
+def use_tree_kernel(n_rows: int, k: int, dtype) -> bool:
+    """Policy: prefer the tree kernel when its certification failure odds
+    are negligible. A query fails only if >= 3 of its top-~k rows land in
+    one residue class — P ~ C(k,3)/L^2 over L = n/(tile/128) classes; the
+    kernel is accepted when that is <= ~2e-4/query (so a 48-query batch
+    pays the exact fallback well under 1% of the time). Measured on v5e at
+    10M bf16 the tree sweeps at 669 GB/s vs 226 GB/s for the block kernel
+    (scripts/exp_topk_variants.py)."""
+    import math
+
+    classes = n_rows // max(_tree_tile_rows(dtype) // TREE_CLASSES, 1)
+    if classes < 1024:
+        return False
+    return math.comb(k, 3) <= 2e-4 * classes * classes
+
+
+# ApproxTopK overfetch for the candidate merge: boundary ties and recall
+# misses beyond this margin fail the counting certificate -> exact fallback.
+_TREE_FETCH_PAD = 32
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def fused_topk_batch_tree(
+    emb: jax.Array, queries: jax.Array, k: int, interpret: bool = False
+):
+    """Batched certified-exact top-k via the halving-tree kernel.
+
+    Same contract as ``fused_topk_batch``: (ok (Q,), scores (Q, k),
+    indices (Q, k)); ok=False rows need the caller's exact fallback.
+    Built for multi-million-row corpora (the class partition needs many
+    tiles for certification to succeed at k~48; callers choose between
+    this and the block kernel by corpus size)."""
+    n, d = emb.shape
+    q = queries.shape[0]
+    if k > LANES:
+        raise ValueError(f"k={k} > {LANES} not supported by the kernel")
+    if q > LANES:
+        raise ValueError(f"Q={q} > {LANES} queries per kernel call")
+    queries = queries.astype(jnp.float32)
+    if q < LANES:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((LANES - q, d), jnp.float32)]
+        )
+    tile_rows = _tree_tile_rows(emb.dtype)
+    m1, m2, m3, i1, i2 = _tree_candidates(emb, queries, tile_rows, interpret)
+    grid = m1.shape[0] // LANES
+
+    def flat(x):  # (grid*LANES, C) -> (LANES, grid*C)
+        return (
+            x.reshape(grid, LANES, TREE_CLASSES)
+            .transpose(1, 0, 2)
+            .reshape(LANES, grid * TREE_CLASSES)
+        )
+
+    cand_s = jnp.stack([flat(m1), flat(m2)], axis=-1).reshape(LANES, -1)
+    cand_i = jnp.stack([flat(i1), flat(i2)], axis=-1).reshape(LANES, -1)
+    cert = flat(m3)
+    c_total = cand_s.shape[1]
+    kk = min(k, c_total)
+    fetch = min(kk + _TREE_FETCH_PAD, c_total)
+    # Hardware ApproxTopK over the candidates (f32, ~N/128 of the corpus),
+    # then an index-aware lexsort of the fetched rows enforces the
+    # (score desc, index asc) tie contract regardless of fetch order.
+    cs, cpos = jax.lax.approx_max_k(
+        cand_s, fetch, recall_target=0.999, aggregate_to_topk=True
+    )
+    ci = jnp.take_along_axis(cand_i, cpos, axis=1)
+
+    def per_query(s, i):
+        order = jnp.lexsort((i, -s))[:kk]
+        return s[order], i[order]
+
+    top_s, top_i = jax.vmap(per_query)(cs, ci)
+    m = top_s[:, kk - 1]
+    # Certificates (either failing -> caller's exact fallback):
+    #  (1) merge: every candidate scoring >= m was fetched — counts over
+    #      the full candidate set and the fetched set must agree, so an
+    #      ApproxTopK recall miss or a tie plateau wider than the fetch
+    #      pad is always caught.
+    #  (2) class bound: everything the kernel dropped scores < m.
+    ge_all = jnp.sum(cand_s >= m[:, None], axis=1)
+    ge_got = jnp.sum(cs >= m[:, None], axis=1)
+    ok = (ge_all == ge_got) & jnp.all(cert < m[:, None], axis=1)
+    if kk < k:
+        pad = k - kk
+        top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, ((0, 0), (0, pad)), constant_values=-1)
+    return ok[:q], top_s[:q, :k], top_i[:q, :k]

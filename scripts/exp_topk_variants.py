@@ -38,7 +38,8 @@ def main():
     import functools
 
     from evossearch_tpu.ops.topk_pallas import (
-        _block_candidates, fused_topk_batch, LANES,
+        _block_candidates, _tree_candidates, _tree_tile_rows,
+        fused_topk_batch, fused_topk_batch_tree, LANES,
     )
 
     log(f"devices: {jax.devices()}")
@@ -61,6 +62,19 @@ def main():
             axis=1,
         )
 
+    @jax.jit
+    def tree_kernel_only(emb, q):
+        outs = _tree_candidates(emb, q, _tree_tile_rows(emb.dtype), False)
+        return jnp.sum(outs[2])
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def tree_e2e_packed(emb, q, k):
+        ok, s, i = fused_topk_batch_tree(emb, q, k)
+        return jnp.concatenate(
+            [s, i.astype(jnp.float32), ok[:, None].astype(jnp.float32)],
+            axis=1,
+        )
+
     for n, dtype, tag in ((10_000_000, jnp.bfloat16, "10M bf16"),
                           (1_000_000, jnp.float32, "1M f32")):
         emb = jax.random.normal(jax.random.key(0), (n, 512), dtype)
@@ -69,19 +83,30 @@ def main():
         q = jax.random.normal(jax.random.key(1), (LANES, 512), jnp.float32)
         q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
         gb = n * 512 * emb.dtype.itemsize / 1e9
-        for levels in (1, 3, 4):
+        for levels in (3,):
             np.asarray(kernel_only(emb, q, levels))  # compile
             ms = p50(lambda: kernel_only(emb, q, levels))
             net = max(ms - floor, 1e-9)
             log(f"[{tag}] kernel-only levels={levels}: p50={ms:.1f}ms "
                 f"net={net:.1f}ms -> {gb / net * 1e3:.0f} GB/s")
-        for levels in (3, 4):
+        np.asarray(tree_kernel_only(emb, q))  # compile
+        ms = p50(lambda: tree_kernel_only(emb, q))
+        net = max(ms - floor, 1e-9)
+        log(f"[{tag}] kernel-only TREE (tile {_tree_tile_rows(emb.dtype)}): "
+            f"p50={ms:.1f}ms net={net:.1f}ms -> {gb / net * 1e3:.0f} GB/s")
+        for levels in (3,):
             out = np.asarray(e2e_packed(emb, q, 48, levels))  # compile
             ok_rate = float(out[:, -1].mean())
             ms = p50(lambda: e2e_packed(emb, q, 48, levels))
             net = max(ms - floor, 1e-9)
             log(f"[{tag}] e2e levels={levels}: p50={ms:.1f}ms net={net:.1f}ms "
                 f"-> {net / LANES:.3f} ms/q net (cert rate {ok_rate:.3f})")
+        out = np.asarray(tree_e2e_packed(emb, q, 48))  # compile
+        ok_rate = float(out[:, -1].mean())
+        ms = p50(lambda: tree_e2e_packed(emb, q, 48))
+        net = max(ms - floor, 1e-9)
+        log(f"[{tag}] e2e TREE: p50={ms:.1f}ms net={net:.1f}ms "
+            f"-> {net / LANES:.3f} ms/q net (cert rate {ok_rate:.3f})")
         del emb, q
 
     log("done")

@@ -185,6 +185,65 @@ def test_levels3_certified_rows_exact_and_depth_policy():
     np.testing.assert_allclose(s[ok], os_[ok], rtol=1e-5, atol=1e-4)
 
 
+# -- halving-tree kernel (round 2) --
+
+
+def test_tree_certified_rows_exact():
+    from evossearch_tpu.ops.topk_pallas import fused_topk_batch_tree
+
+    rng = np.random.default_rng(0)
+    n = 20_000  # 3 tiles at the f32 tile size, ragged tail
+    emb = rng.standard_normal((n, 512)).astype(np.float32)
+    queries = rng.standard_normal((9, 512)).astype(np.float32)
+    os_, oi_ = _oracle_batch(emb, queries, 8)
+    ok, s, i = fused_topk_batch_tree(
+        jnp.asarray(emb), jnp.asarray(queries), 8, interpret=True
+    )
+    ok, s, i = np.asarray(ok), np.asarray(s), np.asarray(i)
+    assert ok.mean() > 0.8  # k=8 over ~156 classes: cert nearly always
+    np.testing.assert_array_equal(i[ok], oi_[ok])
+    np.testing.assert_allclose(s[ok], os_[ok], rtol=1e-5, atol=1e-4)
+
+
+def test_tree_duplicate_rows_tie_contract():
+    from evossearch_tpu.ops.topk_pallas import fused_topk_batch_tree
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((20_000, 512)).astype(np.float32)
+    emb[9000] = emb[200]  # exact duplicate spanning tree halves
+    queries = emb[[200]].copy()
+    ok, s, i = fused_topk_batch_tree(
+        jnp.asarray(emb), jnp.asarray(queries), 4, interpret=True
+    )
+    ok, i = np.asarray(ok), np.asarray(i)
+    if ok[0]:
+        assert i[0][0] == 200 and i[0][1] == 9000, i[0]
+
+
+def test_tree_mass_ties_fail_certification():
+    from evossearch_tpu.ops.topk_pallas import fused_topk_batch_tree
+
+    emb = np.zeros((20_000, 512), np.float32)
+    emb[:, 0] = 1.0
+    queries = np.ones((3, 512), np.float32)
+    ok, _, _ = fused_topk_batch_tree(
+        jnp.asarray(emb), jnp.asarray(queries), 48, interpret=True
+    )
+    assert not np.asarray(ok).any()
+
+
+def test_tree_policy():
+    from evossearch_tpu.ops.topk_pallas import use_tree_kernel
+
+    # big corpora take the tree; small/mid ones keep the block kernel
+    assert use_tree_kernel(10_000_000, 48, jnp.bfloat16)
+    assert use_tree_kernel(1_000_000, 48, jnp.float32)
+    assert not use_tree_kernel(300_000, 48, jnp.bfloat16)
+    assert not use_tree_kernel(50_000, 48, jnp.float32)
+    # failure odds scale with C(k,3): large k needs more classes
+    assert not use_tree_kernel(1_000_000, 128, jnp.bfloat16)
+
+
 def test_pallas_search_batch_fallback_covers_uncertified():
     # The public wrapper must return EXACT results even when certification
     # fails (all-ties) by routing failed rows to the XLA fallback.
