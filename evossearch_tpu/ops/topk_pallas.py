@@ -506,8 +506,9 @@ def _tree_candidates(
     emb: jax.Array, queries_padded: jax.Array, tile_rows: int, interpret: bool
 ):
     """One-pass tree kernel: per (tile, residue class) top-2 scores +
-    global indices + 3rd-best bound. Output arrays (grid*LANES, 128):
-    per tile a (queries, classes) block."""
+    global indices + 3rd-best bound. Outputs are query-major
+    (LANES, grid*128) — tile i writes column block i — so the merge
+    consumes them directly with no post-kernel transpose."""
     n, d = emb.shape
     if d % LANES:
         raise ValueError(f"d={d} must be a multiple of {LANES}")
@@ -515,10 +516,10 @@ def _tree_candidates(
         raise ValueError(f"tile_rows={tile_rows} must be a power of two >= 512")
     grid = pl.cdiv(n, tile_rows)
     out_block = pl.BlockSpec(
-        (LANES, TREE_CLASSES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (LANES, TREE_CLASSES), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    f32 = jax.ShapeDtypeStruct((grid * LANES, TREE_CLASSES), jnp.float32)
-    i32 = jax.ShapeDtypeStruct((grid * LANES, TREE_CLASSES), jnp.int32)
+    f32 = jax.ShapeDtypeStruct((LANES, grid * TREE_CLASSES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((LANES, grid * TREE_CLASSES), jnp.int32)
     compute_dtype = emb.dtype if emb.dtype == jnp.bfloat16 else jnp.float32
     return pl.pallas_call(
         _make_tree_kernel(n, d, compute_dtype, tile_rows),
@@ -593,18 +594,11 @@ def fused_topk_batch_tree(
         )
     tile_rows = _tree_tile_rows(emb.dtype)
     m1, m2, m3, i1, i2 = _tree_candidates(emb, queries, tile_rows, interpret)
-    grid = m1.shape[0] // LANES
-
-    def flat(x):  # (grid*LANES, C) -> (LANES, grid*C)
-        return (
-            x.reshape(grid, LANES, TREE_CLASSES)
-            .transpose(1, 0, 2)
-            .reshape(LANES, grid * TREE_CLASSES)
-        )
-
-    cand_s = jnp.stack([flat(m1), flat(m2)], axis=-1).reshape(LANES, -1)
-    cand_i = jnp.stack([flat(i1), flat(i2)], axis=-1).reshape(LANES, -1)
-    cert = flat(m3)
+    # Plain concatenation (NOT index-interleaved): the lexsort below is
+    # index-aware, so candidate position order is free to be arbitrary.
+    cand_s = jnp.concatenate([m1, m2], axis=1)
+    cand_i = jnp.concatenate([i1, i2], axis=1)
+    cert = m3
     c_total = cand_s.shape[1]
     kk = min(k, c_total)
     fetch = min(kk + _TREE_FETCH_PAD, c_total)
