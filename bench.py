@@ -296,7 +296,8 @@ def bench_ivf() -> None:
     q_ms = (time.perf_counter() - t0) / len(qs) * 1e3
     log(f"IVF 1M (nlist=1000): build={build_s:.1f}s, recall@{K}="
         f"{hits / total:.4f} [target >= 0.99], query={q_ms:.1f} ms "
-        f"(single-query wall incl ~28ms RPC floor)")
+        f"(single-query wall incl ~28ms RPC floor; "
+        f"recall-calibrated nprobe={ivf.tuned_nprobe})")
 
 
 def main() -> None:

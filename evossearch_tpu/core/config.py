@@ -136,8 +136,9 @@ class Config:
         self.MICROBATCH_MS = float(os.getenv("EVOSSEARCH_MICROBATCH_MS", "2.0"))
         # Index kind: exact (default) or ivf (approximate, >=99% recall@48).
         self.INDEX_KIND = os.getenv("EVOSSEARCH_INDEX_KIND", "exact")
-        # IVF probes per query (0 = auto: max(nlist/4, enough lists to
-        # cover >=2k candidate rows) — see ivf.py); list count (0 = sqrt(N)).
+        # IVF probes per query (0 = auto: the recall-calibrated value the
+        # build measures — nlist/4 on untuned indexes — raised when needed
+        # to cover >=2k candidate rows; see ivf.py); list count (0 = sqrt(N)).
         self.IVF_NPROBE = _env_int("EVOSSEARCH_IVF_NPROBE", "0")
         self.IVF_NLIST = _env_int("EVOSSEARCH_IVF_NLIST", "0")
         # Path to BPE vocab file (OpenAI bpe_simple_vocab_16e6.txt.gz or HF

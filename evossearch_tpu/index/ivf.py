@@ -112,11 +112,13 @@ class IVFIndex:
     spill_ids: jax.Array  # (S,)
     n: int
     nlist: int
+    tuned_nprobe: int = 0  # recall-calibrated at build; 0 = untuned
 
     @classmethod
     def build(
         cls, emb, nlist: int = 0, iters: int = 10,
         bucket_factor: float = 2.0, seed: int = 0,
+        tune_target: float | None = 0.995,
     ) -> "IVFIndex":
         """Train centroids and lay out buckets from an (N, d) matrix.
 
@@ -126,6 +128,9 @@ class IVFIndex:
         runs ON DEVICE; only O(N) int32 index vectors touch the host.
         (The first version scattered buckets in numpy, which re-shipped a
         2x-corpus-sized tensor to the device after a full download.)
+
+        ``tune_target``: recall target for build-time nprobe calibration
+        (None disables). See ``_tune_nprobe``.
         """
         emb_dev = jnp.asarray(emb)
         if emb_dev.dtype != jnp.float32:
@@ -163,6 +168,17 @@ class IVFIndex:
         bucket_ids = bucket_ids.at[sa_in, pos_in].set(rows_in.astype(jnp.int32))
         spill = emb_dev[rows_spill]
         spill_ids = rows_spill.astype(jnp.int32)
+        tuned = 0
+        if tune_target is not None and nlist > 1:
+            is_spilled = (
+                jnp.zeros((n,), bool).at[rows_spill].set(True)
+                if rows_spill.shape[0]
+                else jnp.zeros((n,), bool)
+            )
+            tuned = _tune_nprobe(
+                emb_dev, cent, assign, is_spilled, rng,
+                target=tune_target,
+            )
         return cls(
             centroids=cent,
             buckets=buckets,
@@ -170,6 +186,7 @@ class IVFIndex:
             spill=spill,
             spill_ids=spill_ids,
             n=n, nlist=nlist,
+            tuned_nprobe=tuned,
         )
 
     def save(self, path) -> None:
@@ -182,14 +199,16 @@ class IVFIndex:
             bucket_ids=np.asarray(self.bucket_ids),
             spill=np.asarray(self.spill),
             spill_ids=np.asarray(self.spill_ids),
-            meta=np.asarray([self.n, self.nlist], np.int64),
+            meta=np.asarray([self.n, self.nlist, self.tuned_nprobe], np.int64),
         )
 
     @classmethod
     def load(cls, path) -> "IVFIndex | None":
         try:
             with np.load(path, allow_pickle=False) as data:
-                n, nlist = (int(v) for v in data["meta"])
+                meta = [int(v) for v in data["meta"]]
+                n, nlist = meta[0], meta[1]
+                tuned = meta[2] if len(meta) > 2 else 0
                 return cls(
                     centroids=jnp.asarray(data["centroids"]),
                     buckets=jnp.asarray(data["buckets"]),
@@ -197,6 +216,7 @@ class IVFIndex:
                     spill=jnp.asarray(data["spill"]),
                     spill_ids=jnp.asarray(data["spill_ids"]),
                     n=n, nlist=nlist,
+                    tuned_nprobe=tuned,
                 )
         except Exception:
             return None
@@ -206,13 +226,16 @@ class IVFIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Approximate top-k; FAISS-shaped (scores, indices) result.
 
-        Auto nprobe covers >=2k candidate rows and at least a quarter of
-        the lists, so small corpora degrade toward exact search instead of
-        returning short results.
+        Auto nprobe prefers the build-time recall-calibrated value
+        (``tuned_nprobe``, see ``_tune_nprobe``) and falls back to
+        nlist/4 on untuned indexes; either way it probes enough lists to
+        cover >=2k candidate rows, so small corpora degrade toward exact
+        search instead of returning short results.
         """
         cap = self.buckets.shape[1]
         if not nprobe:
-            nprobe = max(1, self.nlist // 4, -(-2 * k // max(cap, 1)))
+            base = self.tuned_nprobe or max(1, self.nlist // 4)
+            nprobe = max(base, -(-2 * k // max(cap, 1)))
         nprobe = min(nprobe, self.nlist)
         k = min(k, self.n)
         if k == 0:
@@ -230,6 +253,68 @@ class IVFIndex:
             s, i = (np.asarray(x) for x in _ivf_search(*args))
         valid = i >= 0  # drop bucket padding when probes cover < k rows
         return s[valid], i[valid]
+
+
+# -- build-time nprobe calibration ---------------------------------------
+#
+# nlist/4 probes (the untuned default) gathers a quarter of the corpus per
+# query — measured 90 ms/query at 1M on v5e where the EXACT batched sweep
+# costs 0.73 ms/query. The right nprobe is data-dependent, so the build
+# measures it: recall@k for ANY nprobe is determined by the rank each true
+# top-k row's bucket takes in the query's centroid ordering, so two
+# batched dispatches (exact top-k for a query sample + centroid-rank
+# lookup) yield the whole recall(nprobe) curve at once; the calibrated
+# value is the target-recall quantile of those ranks (+25% safety margin,
+# and queries are noise-perturbed corpus rows so they do not sit exactly
+# on their own bucket centroids).
+
+
+def _tune_nprobe(
+    emb: jax.Array, cent: jax.Array, assign: jax.Array,
+    is_spilled: jax.Array, rng, k: int = 48, q_sample: int = 64,
+    target: float = 0.995, noise: float = 0.05,
+) -> int:
+    from .search import exact_search_batch
+
+    n = emb.shape[0]
+    nlist = cent.shape[0]
+    k = min(k, n)
+    q_sample = min(q_sample, n)
+    qidx = jnp.asarray(rng.choice(n, size=q_sample, replace=False))
+    key = jax.random.key(int(rng.integers(2**31)))
+    queries = emb[qidx]
+    queries = queries + noise * jax.random.normal(
+        key, queries.shape, jnp.float32
+    )
+    queries = queries / jnp.maximum(
+        jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12
+    )
+    _, exact_i = exact_search_batch(emb, queries, k)
+    ranks = np.sort(  # spill rows ride as -1: always found, sorted first
+        np.asarray(  # np.asarray of a device array is read-only: copy-sort
+            _bucket_ranks(
+                cent, assign, is_spilled, queries, jnp.asarray(exact_i)
+            )
+        ).ravel()
+    )
+    need = max(1, int(np.ceil(target * ranks.size)))
+    nprobe = int(ranks[min(need, ranks.size) - 1]) + 1
+    return min(nlist, max(1, -(-nprobe * 5 // 4)))
+
+
+@jax.jit
+def _bucket_ranks(cent, assign, is_spilled, queries, exact_i):
+    """For each (query, true top-k row): the rank of the row's bucket in
+    the query's centroid ordering; -1 for spill rows (always scanned)."""
+    q, nlist = queries.shape[0], cent.shape[0]
+    cscores = jnp.dot(queries, cent.T, preferred_element_type=jnp.float32)
+    order = jnp.argsort(-cscores, axis=1)
+    rank = jnp.zeros((q, nlist), jnp.int32)
+    rank = rank.at[jnp.arange(q)[:, None], order].set(
+        jnp.broadcast_to(jnp.arange(nlist, dtype=jnp.int32), (q, nlist))
+    )
+    hit_rank = jnp.take_along_axis(rank, assign[exact_i], axis=1)
+    return jnp.where(is_spilled[exact_i], -1, hit_rank)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))

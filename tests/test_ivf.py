@@ -85,6 +85,30 @@ def test_tiny_corpus():
     assert len(s) == 5
 
 
+def test_tuned_nprobe_calibration(corpus, ivf, tmp_path):
+    """Build-time calibration must pick a small nprobe on clustered data
+    (the untuned default nlist/4 gathers a quarter of the corpus) while
+    keeping auto-search recall at the >=0.99 contract; the tuned value
+    survives save/load."""
+    assert 0 < ivf.tuned_nprobe < ivf.nlist // 4, ivf.tuned_nprobe
+    rng = np.random.default_rng(7)
+    hits = total = 0
+    for _ in range(20):
+        q = corpus[rng.integers(len(corpus))] + 0.05 * rng.standard_normal(
+            corpus.shape[1]
+        ).astype(np.float32)
+        q /= np.linalg.norm(q)
+        _, exact_idx = exact_search(corpus, q, 48)
+        _, auto_idx = ivf.search(q, 48)  # auto -> tuned_nprobe
+        hits += len(set(exact_idx.tolist()) & set(auto_idx.tolist()))
+        total += 48
+    assert hits / total >= 0.99, (hits / total, ivf.tuned_nprobe)
+    ivf.save(tmp_path / "ivf.npz")
+    loaded = IVFIndex.load(tmp_path / "ivf.npz")
+    assert loaded is not None
+    assert loaded.tuned_nprobe == ivf.tuned_nprobe
+
+
 @pytest.mark.slow
 def test_recall_at_scale_100k():
     """Scale recall check runnable on the CPU mesh (the full 1M validation
