@@ -117,8 +117,11 @@ class Config:
         self.FAST_DECODE = _env_bool("EVOSSEARCH_FAST_DECODE", "True")
         # Exact-search kernel: auto | xla | pallas | host | sharded.
         #   auto    = sharded when >1 device visible; else per-corpus best
-        #             (pallas one-pass kernel for f32, certified xla for
-        #             bf16/CPU — measured on v5e)
+        #             (pallas one-pass kernel for accelerator corpora of
+        #             >= 2^18 rows — f32 and bf16 alike — where its block
+        #             certificate is reliable; certified xla below that
+        #             and on CPU. Measured on v5e; see
+        #             index.search.best_exact_search_batch)
         #   xla     = blocked matvec+top_k (device)
         #   pallas  = fused streaming top-k kernel (device)
         #   host    = native C++ threaded scan over the mmap store

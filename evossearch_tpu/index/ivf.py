@@ -247,8 +247,13 @@ class IVFIndex:
         )
         if self.n < (1 << 24):  # ids exact as f32 values below 2^24
             packed = np.asarray(_ivf_search_packed(*args))
-            s = packed[:k]
-            i = packed[k:].astype(np.int64)
+            # _ivf_search returns kk = min(k, candidate rows) entries,
+            # which is < k when nprobe*cap + spill < k — split at the
+            # actual half, not at k (a fixed-k split mixed scores with
+            # float ids and crashed the valid-filter below).
+            kk = packed.shape[0] // 2
+            s = packed[:kk]
+            i = packed[kk:].astype(np.int64)
         else:
             s, i = (np.asarray(x) for x in _ivf_search(*args))
         valid = i >= 0  # drop bucket padding when probes cover < k rows

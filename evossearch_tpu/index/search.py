@@ -149,13 +149,11 @@ def _fast_topk_batch_packed(emb: jax.Array, queries: jax.Array, k: int):
     )
 
 
-def _searched_with_fallback(emb, queries: np.ndarray, k: int):
-    """Fast certified path with per-query exact fallback; (Q,k) results."""
-    import jax.numpy as jnp
-
-    emb = jnp.asarray(emb)
-    queries_d = jnp.asarray(queries, dtype=jnp.float32)  # no-op if on device
-    packed = np.asarray(_fast_topk_batch_packed(emb, queries_d, k))
+def _unpack_with_fallback(packed: np.ndarray, emb, queries_d, k: int):
+    """Unpack a (Q, 2k+1) [scores | float(indices) | ok] result and re-run
+    the exact XLA path for any uncertified rows. Shared by every packed
+    fast path so the index-encoding and fallback contracts live in ONE
+    place."""
     s = packed[:, :k].copy()
     i = packed[:, k : 2 * k].astype(np.int64)
     ok = packed[:, -1] > 0
@@ -164,6 +162,16 @@ def _searched_with_fallback(emb, queries: np.ndarray, k: int):
         s[~ok] = np.asarray(slow_s)
         i[~ok] = np.asarray(slow_i)
     return s, i
+
+
+def _searched_with_fallback(emb, queries: np.ndarray, k: int):
+    """Fast certified path with per-query exact fallback; (Q,k) results."""
+    import jax.numpy as jnp
+
+    emb = jnp.asarray(emb)
+    queries_d = jnp.asarray(queries, dtype=jnp.float32)  # no-op if on device
+    packed = np.asarray(_fast_topk_batch_packed(emb, queries_d, k))
+    return _unpack_with_fallback(packed, emb, queries_d, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -278,6 +286,14 @@ def pallas_search_batch(emb, queries: np.ndarray, k: int):
     — which the engine routes elsewhere anyway) fall back to the exact XLA
     path. Delegates entirely to exact_search_batch when the kernel's shape
     contract (d % 128 == 0, k <= 128) doesn't hold.
+
+    NOTE: callers choosing a kernel by POLICY should go through
+    ``best_exact_search_batch`` — the block certificate only becomes
+    reliable on large corpora (failure needs >= LEVELS of the top-k in
+    one 256-row block; at a few thousand rows that happens for nearly
+    every query, so each batch would pay kernel pass + exact fallback,
+    i.e. two dispatches). This function honors an EXPLICIT
+    kernel="pallas" choice for any shape the kernel accepts.
     """
     from ..ops.topk_pallas import use_tree_kernel
 
@@ -302,14 +318,7 @@ def pallas_search_batch(emb, queries: np.ndarray, k: int):
             )
         )
     packed = np.concatenate(outs, axis=0)
-    s = packed[:, :k].copy()
-    i = packed[:, k : 2 * k].astype(np.int64)
-    ok = packed[:, -1] > 0
-    if not ok.all():
-        slow_s, slow_i = _topk_batch(emb, queries_d[np.flatnonzero(~ok)], k)
-        s[~ok] = np.asarray(slow_s)
-        i[~ok] = np.asarray(slow_i)
-    return s, i
+    return _unpack_with_fallback(packed, emb, queries_d, k)
 
 
 def best_exact_search_batch(emb, queries: np.ndarray, k: int):
@@ -323,8 +332,15 @@ def best_exact_search_batch(emb, queries: np.ndarray, k: int):
     only fails when >=4 of the top-k share one 256-row block, which
     cross-corpus tie plateaus do not cause (cert rate 1.000 measured at
     10M bf16). CPU backend takes the XLA path (interpret Pallas is
-    test-only)."""
-    if jax.default_backend() != "cpu":
+    test-only). Small corpora (< _FAST_PATH_MIN_ROWS) also take the XLA
+    path: with only a handful of 256-row blocks the block certificate
+    fails for nearly every query (>= LEVELS of the top-48 share a block)
+    and the kernel would pay a full exact fallback — a second dispatch —
+    per batch."""
+    if (
+        jax.default_backend() != "cpu"
+        and emb.shape[0] >= _FAST_PATH_MIN_ROWS
+    ):
         return pallas_search_batch(emb, queries, k)
     return exact_search_batch(emb, queries, k)
 

@@ -138,3 +138,27 @@ def test_recall_at_scale_100k():
         total += k
     recall = hits / total
     assert recall >= 0.99, recall
+
+
+def test_small_nprobe_returns_covered_rows():
+    """Regression (round-2 review): with an explicit nprobe so small that
+    nprobe*cap + spill < k, _ivf_search returns kk < k rows and the packed
+    fetch must split at the ACTUAL half — a fixed-k split mixed scores
+    with float ids (silently empty results) or crashed the valid-filter
+    with an IndexError."""
+    rng = np.random.default_rng(7)
+    n, d = 1000, 64
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ivf = IVFIndex.build(emb, nlist=500, iters=4)
+    q = emb[3] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    q = (q / np.linalg.norm(q)).astype(np.float32)
+    for k in (48, 30):
+        s, i = ivf.search(q, k, nprobe=1)
+        assert len(s) == len(i)
+        assert 0 < len(i) <= k
+        assert np.all(i >= 0) and np.all(i < n)
+        # returned rows must really be the best of what one probe covers:
+        # scores must match a direct dot with the named rows
+        np.testing.assert_allclose(s, emb[i] @ q, atol=1e-5)
+        assert np.all(np.diff(s) <= 1e-6)  # descending

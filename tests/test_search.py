@@ -106,3 +106,25 @@ def test_fast_path_guard_above_pack_limit():
     # corpora >= 2^24 rows must not take the packed fast path (f32 values
     # can't carry those indices exactly); spot-check the guard constants.
     assert S._PACK_MAX_ROWS == 1 << 24
+
+
+def test_best_kernel_routes_small_corpora_to_xla(monkeypatch):
+    """Regression (round-2 review): on accelerators the auto policy must
+    NOT send small corpora to the Pallas block kernel — its certificate
+    fails for nearly every query below ~2^18 rows and each batch would
+    pay kernel + exact fallback (two dispatches). Verified by pretending
+    the backend is a TPU and asserting the Pallas entry is never hit."""
+    import evossearch_tpu.index.search as search_mod
+
+    monkeypatch.setattr(search_mod.jax, "default_backend", lambda: "tpu")
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("pallas path selected for a small corpus")
+
+    monkeypatch.setattr(search_mod, "pallas_search_batch", boom)
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((4096, 128)).astype(np.float32)
+    qs = rng.standard_normal((4, 128)).astype(np.float32)
+    s, i = search_mod.best_exact_search_batch(emb, qs, 10)
+    es, ei = search_mod.exact_search_batch(emb, qs, 10)
+    np.testing.assert_array_equal(i, ei)
