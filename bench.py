@@ -294,10 +294,16 @@ def bench_ivf() -> None:
         hits += len(set(map(int, i)) & set(map(int, exact_i[row])))
         total += K
     q_ms = (time.perf_counter() - t0) / len(qs) * 1e3
+    # Batched dispatch (what serving's MicroBatcher issues for concurrent
+    # IVF queries): one device round-trip for the whole batch.
+    ivf.search_batch(qs, K)  # compile
+    b_ms = _p50(lambda: ivf.search_batch(qs, K)[0], iters=8)
     log(f"IVF 1M (nlist=1000): build={build_s:.1f}s, recall@{K}="
         f"{hits / total:.4f} [target >= 0.99], query={q_ms:.1f} ms "
         f"(single-query wall incl ~28ms RPC floor; "
-        f"recall-calibrated nprobe={ivf.tuned_nprobe})")
+        f"recall-calibrated nprobe={ivf.tuned_nprobe}); "
+        f"batched {len(qs)}: {b_ms:.1f} ms total = "
+        f"{b_ms / len(qs):.2f} ms/query")
 
 
 def main() -> None:

@@ -467,6 +467,10 @@ class SearchEngine:
         if reader is None:
             raise LookupError("Folder not indexed")
         k = min(k, reader.count)
+        if self.cfg.INDEX_KIND == "ivf":
+            return self._entry_ivf(entry, reader).search_batch(
+                queries, k, nprobe=self.cfg.IVF_NPROBE
+            )
         kernel = self._resolve_kernel()
         if kernel == "sharded":
             return self._entry_sharded(entry, reader).search_batch(queries, k)
@@ -490,9 +494,19 @@ class SearchEngine:
         query = query.astype(np.float32)
         with self.timers.stage("search"):
             if self.cfg.INDEX_KIND == "ivf":
-                scores, idx = self._entry_ivf(entry, reader).search(
-                    query, k, nprobe=self.cfg.IVF_NPROBE
-                )
+                if self._batcher is not None:
+                    # Concurrent IVF queries share one batched dispatch
+                    # (IVFIndex.search_batch); rows come back padded with
+                    # id -1 where the probes covered < k vectors.
+                    scores, idx = self._batcher.submit(
+                        _canon(folder), query, k
+                    )
+                    valid = idx >= 0
+                    scores, idx = scores[valid], idx[valid]
+                else:
+                    scores, idx = self._entry_ivf(entry, reader).search(
+                        query, k, nprobe=self.cfg.IVF_NPROBE
+                    )
             else:
                 kernel = self._resolve_kernel()
                 if (

@@ -232,32 +232,55 @@ class IVFIndex:
         cover >=2k candidate rows, so small corpora degrade toward exact
         search instead of returning short results.
         """
+        s, i = self.search_batch(
+            jnp.asarray(query, jnp.float32)[None, :], k, nprobe
+        )
+        s, i = s[0], i[0]
+        valid = i >= 0  # drop bucket padding when probes cover < k rows
+        return s[valid], i[valid]
+
+    def resolve_nprobe(self, k: int, nprobe: int = 0) -> int:
+        """The auto-nprobe rule (see ``search``), exposed for callers."""
         cap = self.buckets.shape[1]
         if not nprobe:
             base = self.tuned_nprobe or max(1, self.nlist // 4)
             nprobe = max(base, -(-2 * k // max(cap, 1)))
-        nprobe = min(nprobe, self.nlist)
+        return min(nprobe, self.nlist)
+
+    def search_batch(
+        self, queries, k: int, nprobe: int = 0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched approximate top-k: (Q, d) queries -> (Q, kk) scores +
+        ids in ONE device dispatch (kk = min(k, rows the probes cover)).
+        Rows where the probed lists cover fewer than kk vectors are
+        padded with id -1 / score -inf — callers drop ids < 0. Queries
+        against the same corpus amortize the dispatch cost exactly like
+        the exact batched kernels (serving's MicroBatcher routes IVF
+        searches here)."""
+        nprobe = self.resolve_nprobe(k, nprobe)
         k = min(k, self.n)
-        if k == 0:
-            return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+        q = queries.shape[0]  # shape only — no host fetch of device queries
+        if k == 0 or q == 0:
+            return (
+                np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
+            )
         args = (
             self.centroids, self.buckets, self.bucket_ids,
             self.spill, self.spill_ids,
-            jnp.asarray(query, jnp.float32), k, nprobe,
+            jnp.asarray(queries, jnp.float32), k, nprobe,
         )
         if self.n < (1 << 24):  # ids exact as f32 values below 2^24
-            packed = np.asarray(_ivf_search_packed(*args))
+            packed = np.asarray(_ivf_search_batch_packed(*args))
             # _ivf_search returns kk = min(k, candidate rows) entries,
             # which is < k when nprobe*cap + spill < k — split at the
             # actual half, not at k (a fixed-k split mixed scores with
-            # float ids and crashed the valid-filter below).
-            kk = packed.shape[0] // 2
-            s = packed[:kk]
-            i = packed[kk:].astype(np.int64)
+            # float ids and crashed the valid-filter).
+            kk = packed.shape[1] // 2
+            s = packed[:, :kk]
+            i = packed[:, kk:].astype(np.int64)
         else:
-            s, i = (np.asarray(x) for x in _ivf_search(*args))
-        valid = i >= 0  # drop bucket padding when probes cover < k rows
-        return s[valid], i[valid]
+            s, i = (np.asarray(x) for x in _ivf_search_batch(*args))
+        return s, i
 
 
 # -- build-time nprobe calibration ---------------------------------------
@@ -323,16 +346,29 @@ def _bucket_ranks(cent, assign, is_spilled, queries, exact_i):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
-def _ivf_search_packed(centroids, buckets, bucket_ids, spill, spill_ids,
-                       query, k: int, nprobe: int):
-    """_ivf_search packed into one (2k,) f32 array [scores | float(ids)]:
-    a single device->host fetch instead of two (each fetch pays this
-    rig's ~29ms relay floor). Ids ride as f32 VALUES — exact below 2**24
-    rows, and -1 padding survives the float round trip."""
-    s, i = _ivf_search(
-        centroids, buckets, bucket_ids, spill, spill_ids, query, k, nprobe
+def _ivf_search_batch(centroids, buckets, bucket_ids, spill, spill_ids,
+                      queries, k: int, nprobe: int):
+    """Batched _ivf_search: (Q, d) queries -> (Q, kk) scores/ids in one
+    dispatch (vmap over the single-query search)."""
+    return jax.vmap(
+        lambda q: _ivf_search(
+            centroids, buckets, bucket_ids, spill, spill_ids, q, k, nprobe
+        )
+    )(queries)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_search_batch_packed(centroids, buckets, bucket_ids, spill,
+                             spill_ids, queries, k: int, nprobe: int):
+    """_ivf_search_batch packed into one (Q, 2*kk) f32 array
+    [scores | float(ids)]: a single device->host fetch instead of two
+    (each fetch pays this rig's ~29ms relay floor). Ids ride as f32
+    VALUES — exact below 2**24 rows, and -1 padding survives the float
+    round trip."""
+    s, i = _ivf_search_batch(
+        centroids, buckets, bucket_ids, spill, spill_ids, queries, k, nprobe
     )
-    return jnp.concatenate([s, i.astype(jnp.float32)])
+    return jnp.concatenate([s, i.astype(jnp.float32)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))

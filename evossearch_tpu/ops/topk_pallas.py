@@ -346,11 +346,15 @@ def fused_topk_batch(
     # (levels within a block are index-ascending on ties by construction,
     # blocks are index-ascending by layout), so lax.top_k's lowest-position
     # tie preference implements the lowest-index contract.
+    # The kernel computes all LANES query lanes (MXU shape), but the merge
+    # below only needs the q REAL queries — slice first so the candidate
+    # selection, certification counts, and lexsorts don't pay for padding
+    # lanes (2.6x wasted merge work at the serving batch of 48).
     cand_s = jnp.stack(ss, axis=1)  # (L, nc, LANES)
     cand_i = jnp.stack(ii, axis=1)
     rows_l = cand_s.shape[0]
-    cand_s = cand_s.transpose(2, 0, 1).reshape(LANES, rows_l * nc)
-    cand_i = cand_i.transpose(2, 0, 1).reshape(LANES, rows_l * nc)
+    cand_s = cand_s.transpose(2, 0, 1)[:q].reshape(q, rows_l * nc)
+    cand_i = cand_i.transpose(2, 0, 1)[:q].reshape(q, rows_l * nc)
     kk = min(k, rows_l * nc)
     from ..index.search import blocked_top_k  # no cycle: search is jax-only
 
@@ -365,8 +369,8 @@ def fused_topk_batch(
     # (a missed element ranks > nc in its block, i.e. <= that block's
     # (nc+1)-th best, which this asserts is strictly below the k-th pick).
     m = top_s[:, min(k, n) - 1]
-    ok = jnp.all(s_cert.T < m[:, None], axis=1)
-    return ok[:q], top_s[:q, :k], top_i[:q, :k]
+    ok = jnp.all(s_cert.T[:q] < m[:, None], axis=1)
+    return ok, top_s[:, :k], top_i[:, :k]
 
 
 # -- halving-tree kernel: the bandwidth-bound formulation ----------------
@@ -596,9 +600,14 @@ def fused_topk_batch_tree(
     m1, m2, m3, i1, i2 = _tree_candidates(emb, queries, tile_rows, interpret)
     # Plain concatenation (NOT index-interleaved): the lexsort below is
     # index-aware, so candidate position order is free to be arbitrary.
-    cand_s = jnp.concatenate([m1, m2], axis=1)
-    cand_i = jnp.concatenate([i1, i2], axis=1)
-    cert = m3
+    # Slice to the q REAL query rows first: the kernel fills all LANES
+    # lanes (MXU shape), but the ApproxTopK merge + the two counting
+    # certificates below each sweep the (rows, ~2N/128) f32 candidate
+    # tensor — at 10M rows that is ~160 MB per sweep, and padding lanes
+    # would pay 2.6x of it for nothing at the serving batch of 48.
+    cand_s = jnp.concatenate([m1[:q], m2[:q]], axis=1)
+    cand_i = jnp.concatenate([i1[:q], i2[:q]], axis=1)
+    cert = m3[:q]
     c_total = cand_s.shape[1]
     kk = min(k, c_total)
     fetch = min(kk + _TREE_FETCH_PAD, c_total)
@@ -629,4 +638,4 @@ def fused_topk_batch_tree(
         pad = k - kk
         top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=NEG_INF)
         top_i = jnp.pad(top_i, ((0, 0), (0, pad)), constant_values=-1)
-    return ok[:q], top_s[:q, :k], top_i[:q, :k]
+    return ok, top_s[:, :k], top_i[:, :k]

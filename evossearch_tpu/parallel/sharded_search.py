@@ -37,14 +37,24 @@ def _sharded_topk(emb, counts, queries, k: int, mesh: Mesh):
 
     def local(emb_ref, counts_ref, qs):
         # emb_ref: (rows_per_shard, d) this shard; counts_ref: (1,) valid rows
+        from ..index.search import _score_precision, blocked_top_k
+
         scores = jnp.dot(
-            qs.astype(emb_ref.dtype), emb_ref.T, preferred_element_type=jnp.float32
+            qs.astype(emb_ref.dtype), emb_ref.T,
+            preferred_element_type=jnp.float32,
+            precision=_score_precision(emb_ref),
         )  # (Q, rows)
         rows = emb_ref.shape[0]
         valid = counts_ref[0]
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1)
         scores = jnp.where(col_ids < valid, scores, -jnp.inf)
-        s, i = jax.lax.top_k(scores, min(k, rows))  # (Q, k_local)
+        # Blocked selection per shard: a flat lax.top_k over a multi-
+        # million-row shard is one huge selection; block-then-merge is
+        # exact with the same lowest-index tie contract and far faster on
+        # TPU (index/search.blocked_top_k — the same routine the single-
+        # device XLA path uses).
+        k_local = min(k, rows)
+        s, i = jax.vmap(lambda sc: blocked_top_k(sc, k_local))(scores)
         shard_id = jax.lax.axis_index(CORPUS_AXIS)
         gidx = i + shard_id * rows
         # Merge over ICI: gather each shard's k candidates per query and
