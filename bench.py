@@ -258,6 +258,46 @@ def bench_index() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_device_pipeline() -> None:
+    """Device ceiling for INDEXING: the fused resample+crop+normalize+
+    encode program (the same jit the index builder dispatches) timed from
+    device-resident decoded canvases — i.e. the pipeline with host decode
+    and the rig's relay upload factored out. Real-size photos (480x640)
+    so the resample GEMMs pay their true share."""
+    import jax
+
+    from evossearch_tpu.core import CLIP_MODEL_SPECS, Config
+    from evossearch_tpu.engine import SearchEngine
+    from evossearch_tpu.preprocess import prepare_batch
+
+    batch = 128
+    rng = np.random.default_rng(0)
+    arrays = [
+        rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+        for _ in range(batch)
+    ]
+    canvases, a_h_u, a_w_u, size_idx = prepare_batch(arrays, target=224)
+    eng = SearchEngine(cfg=Config(env_path=None),
+                       spec=CLIP_MODEL_SPECS["ViT-B/32"])
+    t0 = time.perf_counter()
+    canv_d = jax.device_put(canvases)
+    ah_d, aw_d = jax.device_put(a_h_u), jax.device_put(a_w_u)
+    si_d = jax.device_put(size_idx)
+    _sync((canv_d, ah_d, aw_d, si_d))
+    log(f"bench_device_pipeline: uploaded {canvases.nbytes / 1e6:.0f} MB "
+        f"of canvases in {time.perf_counter() - t0:.1f}s (one-time)")
+    fn = eng._jit_prep_encode
+    _sync(fn(eng.params, canv_d, ah_d, aw_d, si_d))  # compile
+    reps = 12
+    t0 = time.perf_counter()
+    outs = [fn(eng.params, canv_d, ah_d, aw_d, si_d) for _ in range(reps)]
+    np.asarray(outs[-1])  # fetch-last (see bench_encode)
+    dt = time.perf_counter() - t0
+    log(f"device pipeline (fused preprocess+encode, 480x640 uint8 -> "
+        f"embedding): {reps * batch / dt:.0f} img/s/chip (batch {batch}) "
+        f"[indexing device ceiling; target >= 1000]")
+
+
 def bench_ivf() -> None:
     """IVF at BASELINE config-5 scale: build a 1M clustered corpus, train
     on the TPU (chunked k-means), validate recall@48 >= 0.99 vs exact, and
@@ -312,8 +352,8 @@ def main() -> None:
     # 10M runs BEFORE ivf: the IVF bucket tensor is ~4 GB and interleaving
     # it with the 10 GB corpus fragments HBM enough to slow the sweep.
     budgets = {"bench_index": 480}
-    for extra in (bench_encode, bench_encode_l14, bench_index,
-                  bench_search_10m, bench_ivf):
+    for extra in (bench_encode, bench_encode_l14, bench_device_pipeline,
+                  bench_index, bench_search_10m, bench_ivf):
         try:
             _run_phase(extra, budget_s=budgets.get(extra.__name__, 300))
         except Exception as e:  # extras must not kill the primary metric
