@@ -11,6 +11,14 @@ import json
 import sys
 
 
+def _tree_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _tree_leaves(v)
+    else:
+        yield tree
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="evossearch_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -36,7 +44,32 @@ def main(argv: list[str] | None = None) -> int:
     p_serve.add_argument("--host", default=None)
     p_serve.add_argument("--port", type=int, default=None)
 
+    p_conv = sub.add_parser(
+        "convert",
+        help="convert an OpenAI .pt / HF CLIP checkpoint to the native "
+             ".npz format (then set EVOSSEARCH_CHECKPOINT to use it)",
+    )
+    p_conv.add_argument("src", help="OpenAI .pt file or HF model directory")
+    p_conv.add_argument("out", help="output .npz path")
+
     args = parser.parse_args(argv)
+
+    if args.command == "convert":
+        # torch (CPU) only needed here — the serving/indexing paths never
+        # import it. Reference counterpart: clip.load downloads+loads the
+        # release checkpoint at startup (oldapp.py:28); here conversion is
+        # a one-time offline step.
+        from .models.checkpoint import save_params
+        from .models.convert import load_checkpoint
+
+        params, spec = load_checkpoint(args.src)
+        save_params(args.out, params, spec)
+        n_params = sum(int(p.size) for p in _tree_leaves(params))
+        print(json.dumps({
+            "success": True, "model": spec.name, "params": n_params,
+            "out": args.out,
+        }))
+        return 0
 
     from .core import config
     from .engine import SearchEngine

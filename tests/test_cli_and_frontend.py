@@ -89,3 +89,42 @@ def test_frontend_references_only_real_endpoints():
     assert "{result_options_html}" not in html
     assert "{timestamp}" not in html
     assert html.count("<script>") == html.count("</script>") == 1
+
+
+def test_cli_convert_hf_checkpoint(tmp_path, capsys):
+    """`python -m evossearch_tpu convert <hf_dir> out.npz` -> loadable
+    native checkpoint (the offline counterpart of the reference's
+    clip.load at oldapp.py:28)."""
+    import torch
+    from transformers import CLIPConfig, CLIPModel
+
+    import evossearch_tpu.__main__ as cli
+    from evossearch_tpu.models import encode_image
+    from evossearch_tpu.models.checkpoint import load_params
+
+    cfg = CLIPConfig(
+        projection_dim=32,
+        vision_config=dict(
+            image_size=32, patch_size=16, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=256, hidden_act="quick_gelu",
+        ),
+        text_config=dict(
+            vocab_size=256, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=256,
+            hidden_act="quick_gelu", max_position_embeddings=16,
+            eos_token_id=255,
+        ),
+    )
+    torch.manual_seed(0)
+    src = tmp_path / "hf"
+    CLIPModel(cfg).eval().save_pretrained(str(src), safe_serialization=False)
+    out = tmp_path / "conv.npz"
+    assert cli.main(["convert", str(src), str(out)]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["success"] is True and report["params"] > 0
+
+    params, spec = load_params(out)
+    assert spec.embed_dim == 32 and spec.vision_layers == 2
+    emb = np.asarray(encode_image(params, np.zeros((2, 32, 32, 3), np.float32), spec))
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
