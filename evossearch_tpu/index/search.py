@@ -279,7 +279,7 @@ def pallas_search_batch(emb, queries: np.ndarray, k: int):
     """Exact batched top-k via the Pallas one-pass kernels.
 
     Multi-million-row corpora take the halving-tree kernel (bandwidth-
-    bound: 669 GB/s at 10M bf16 on v5e vs 226 GB/s for the block kernel);
+    bound: ~580 GB/s at 10M bf16 on v5e vs ~230 GB/s for the block kernel);
     smaller ones the per-block selection kernel, whose certification holds
     at mid scale. Certified-exact per query; the rare uncertified rows
     (adversarial mass ties, or corpora too small for the candidate scheme

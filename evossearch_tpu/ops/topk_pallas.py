@@ -444,17 +444,22 @@ def _make_tree_kernel(n: int, d: int, compute_dtype, tile_rows: int):
             )
 
         def merge(sa, sb):
-            # Top-3 of two sorted (by score desc, index asc) summaries.
-            # After the first halving the column sets interleave, so ties
-            # MUST compare indices — "prefer left" is no longer "prefer
-            # lower index". The 3rd-best is a VALUE bound only: among
-            # equal scores any selection leaves an equal value behind, so
-            # it needs no index logic (certification is strict <).
+            # Top-3 of two score-sorted summaries, SCORE-ONLY comparisons.
+            # Ties are resolved arbitrarily (prefer left) — dropping the
+            # index-aware tie compares cuts ~1/3 of the merge's VPU ops,
+            # and the caller's certificates make it safe: a dropped tie
+            # can only matter if its value >= m (the k-th selected
+            # score), and then either the class bound check (m3 < m,
+            # STRICT — the equal value rides in m3) or the candidate
+            # counting certificate fails, routing that query to the exact
+            # fallback. Among KEPT candidates the final lexsort is
+            # index-aware, so certified results still honor the
+            # (score desc, index asc) contract exactly.
             m1a, i1a, m2a, i2a, m3a = sa
             m1b, i1b, m2b, i2b, m3b = sb
-            c1 = (m1a > m1b) | ((m1a == m1b) & (i1a < i1b))
-            c2a = (m2a > m1b) | ((m2a == m1b) & (i2a < i1b))
-            c2b = (m1a > m2b) | ((m1a == m2b) & (i1a < i2b))
+            c1 = m1a >= m1b
+            c2a = m2a >= m1b
+            c2b = m1a >= m2b
             m1 = jnp.where(c1, m1a, m1b)
             i1 = jnp.where(c1, i1a, i1b)
             m2 = jnp.where(
@@ -559,7 +564,8 @@ def use_tree_kernel(n_rows: int, k: int, dtype) -> bool:
     one residue class — P ~ C(k,3)/L^2 over L = n/(tile/128) classes; the
     kernel is accepted when that is <= ~2e-4/query (so a 48-query batch
     pays the exact fallback well under 1% of the time). Measured on v5e at
-    10M bf16 the tree sweeps at 669 GB/s vs 226 GB/s for the block kernel
+    10M bf16 the tree sweeps at ~580 GB/s (score-only merges; measured
+    net of the rig's RPC floor) vs ~230 GB/s for the block kernel
     (scripts/exp_topk_variants.py)."""
     import math
 
