@@ -559,20 +559,23 @@ def _tree_candidates(
 
 
 def use_tree_kernel(n_rows: int, k: int, dtype) -> bool:
-    """Policy: prefer the tree kernel when its certification failure odds
-    are negligible. A query fails only if >= 3 of its top-~k rows land in
-    one residue class — P ~ C(k,3)/L^2 over L = n/(tile/128) classes; the
-    kernel is accepted when that is <= ~2e-4/query (so a 48-query batch
-    pays the exact fallback well under 1% of the time). Measured on v5e at
-    10M bf16 the tree sweeps at ~580 GB/s (score-only merges; measured
-    net of the rig's RPC floor) vs ~230 GB/s for the block kernel
-    (scripts/exp_topk_variants.py)."""
+    """Policy: prefer the tree kernel when its expected cost (pass +
+    certification-failure fallbacks) beats the block kernel's. A query
+    fails only if >= 3 of its top-~k rows land in one residue class —
+    P ~ C(k,3)/L^2 over L = n/(tile/128) classes; accepted when
+    P <= ~1e-3/query. At that boundary a 48-query batch pays an exact
+    fallback (~35 ms incl dispatch) ~5% of the time, +~2 ms expected,
+    while the tree pass saves 4-6 ms outright: measured on v5e, batch-48
+    net of the rig's RPC floor, the tree beats the block kernel at 1M
+    rows for BOTH dtypes (bf16: 1.9 vs 7.9 ms; f32: 9.2 vs 14.6 ms) and
+    sweeps 10M bf16 at ~580 GB/s vs ~230 GB/s (the earlier 2e-4 cutoff
+    mis-routed 0.3-1M bf16 corpora to the block kernel)."""
     import math
 
     classes = n_rows // max(_tree_tile_rows(dtype) // TREE_CLASSES, 1)
     if classes < 1024:
         return False
-    return math.comb(k, 3) <= 2e-4 * classes * classes
+    return math.comb(k, 3) <= 1e-3 * classes * classes
 
 
 # ApproxTopK overfetch for the candidate merge: boundary ties and recall
