@@ -102,8 +102,14 @@ class Config:
         # Compute dtype for encoder matmuls ("bfloat16" or "float32");
         # embeddings/search accumulate in float32 either way.
         self.COMPUTE_DTYPE = os.getenv("EVOSSEARCH_COMPUTE_DTYPE", "bfloat16")
-        # Embedding storage dtype in the shard store.
-        self.STORE_DTYPE = os.getenv("EVOSSEARCH_STORE_DTYPE", "float32")
+        # Embedding storage dtype in the shard store. bfloat16 by default
+        # — the TPU-idiomatic layout: half the shard size AND half the HBM
+        # sweep per query, and the tree kernel runs ~5x faster on bf16
+        # corpora at 1M rows (2x data + f32 corpora pay the 3-pass
+        # HIGHEST-precision matmul to stay bit-identical with the host
+        # scanner). Scores still accumulate f32; set float32 to rank by
+        # full-precision embeddings instead.
+        self.STORE_DTYPE = os.getenv("EVOSSEARCH_STORE_DTYPE", "bfloat16")
         # Rows per embedding shard file (also the per-device search block).
         self.SHARD_SIZE = _env_int("EVOSSEARCH_SHARD_SIZE", str(1 << 20))
         # Number of mesh devices to shard the corpus over (0 = all available).

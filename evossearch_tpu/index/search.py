@@ -223,6 +223,12 @@ def exact_search_host(emb: np.ndarray, query: np.ndarray, k: int):
     contract. Falls back to numpy when the extension isn't built."""
     from ..preprocess.io import get_native
 
+    if emb.dtype != np.float32:
+        # bf16 store: quantize the query to the store dtype first, exactly
+        # like the device kernels (which cast queries to emb.dtype before
+        # the MXU dot) — otherwise host scores are bf16_emb . f32_query
+        # and rank differently from every device path.
+        query = np.asarray(query).astype(emb.dtype)
     emb = np.ascontiguousarray(emb, dtype=np.float32)
     query = np.ascontiguousarray(query, dtype=np.float32)
     n, d = emb.shape
