@@ -90,7 +90,9 @@ def bench_search() -> dict:
 
 def bench_search_10m() -> None:
     """Extra: 10M vectors bf16 on one chip (BASELINE config 4's scale; the
-    mesh version shards this across chips, single chip holds it in 10GB)."""
+    mesh version shards this across chips, single chip holds it in 10GB),
+    plus 1M bf16 — the DEFAULT store dtype's latency at the headline
+    scale (the primary metric keeps f32 for cross-round continuity)."""
     import jax
     import jax.numpy as jnp
 
@@ -102,6 +104,11 @@ def bench_search_10m() -> None:
     batch_ms = _p50(lambda: best_exact_search_batch(emb, queries, K)[0], iters=8)
     log(f"10M vectors bf16, batched {QUERY_BATCH}: total p50={batch_ms:.1f}ms "
         f"-> {batch_ms / QUERY_BATCH:.3f} ms/query")
+    emb_1m = emb[:N_VECTORS]
+    best_exact_search_batch(emb_1m, queries, K)  # compile
+    batch_ms = _p50(lambda: best_exact_search_batch(emb_1m, queries, K)[0], iters=8)
+    log(f"1M vectors bf16 (default store dtype), batched {QUERY_BATCH}: "
+        f"total p50={batch_ms:.1f}ms -> {batch_ms / QUERY_BATCH:.3f} ms/query")
 
 
 def bench_encode_l14() -> None:
