@@ -498,6 +498,11 @@ class SearchEngine:
                     # Concurrent IVF queries share one batched dispatch
                     # (IVFIndex.search_batch); rows come back padded with
                     # id -1 where the probes covered < k vectors.
+                    # Materialize the IVF in THIS request thread first: a
+                    # first-touch build (chunked k-means, tens of seconds
+                    # at 1M rows) inside the single batcher worker would
+                    # head-of-line block every other folder's searches.
+                    self._entry_ivf(entry, reader)
                     scores, idx = self._batcher.submit(
                         _canon(folder), query, k
                     )

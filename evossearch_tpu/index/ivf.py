@@ -345,16 +345,39 @@ def _bucket_ranks(cent, assign, is_spilled, queries, exact_i):
     return jnp.where(is_spilled[exact_i], -1, hit_rank)
 
 
+# Queries per vmapped sub-batch inside _ivf_search_batch. The probed-
+# bucket gather materializes (chunk, nprobe, cap, d) f32 — linear in the
+# chunk — so an unchunked vmap over a 64-query burst at the 1M/nlist=1000
+# configuration would gather ~5 GB on top of the ~4 GB bucket tensor.
+# lax.map over chunks bounds it (~0.7 GB at chunk 8) in ONE dispatch.
+_IVF_BATCH_CHUNK = 8
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def _ivf_search_batch(centroids, buckets, bucket_ids, spill, spill_ids,
                       queries, k: int, nprobe: int):
     """Batched _ivf_search: (Q, d) queries -> (Q, kk) scores/ids in one
-    dispatch (vmap over the single-query search)."""
-    return jax.vmap(
-        lambda q: _ivf_search(
-            centroids, buckets, bucket_ids, spill, spill_ids, q, k, nprobe
+    dispatch (lax.map over vmapped chunks; see _IVF_BATCH_CHUNK)."""
+    q, d = queries.shape
+    chunk = min(_IVF_BATCH_CHUNK, q)
+    g = -(-q // chunk)
+    pad = g * chunk - q
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((pad, d), queries.dtype)]
         )
-    )(queries)
+
+    def run_chunk(qc):
+        return jax.vmap(
+            lambda qq: _ivf_search(
+                centroids, buckets, bucket_ids, spill, spill_ids,
+                qq, k, nprobe,
+            )
+        )(qc)
+
+    s, i = jax.lax.map(run_chunk, queries.reshape(g, chunk, d))
+    kk = s.shape[-1]
+    return s.reshape(g * chunk, kk)[:q], i.reshape(g * chunk, kk)[:q]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))

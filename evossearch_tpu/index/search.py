@@ -223,19 +223,30 @@ def exact_search_host(emb: np.ndarray, query: np.ndarray, k: int):
     contract. Falls back to numpy when the extension isn't built."""
     from ..preprocess.io import get_native
 
-    if emb.dtype != np.float32:
+    is_bf16 = emb.dtype != np.float32
+    if is_bf16:
         # bf16 store: quantize the query to the store dtype first, exactly
         # like the device kernels (which cast queries to emb.dtype before
         # the MXU dot) — otherwise host scores are bf16_emb . f32_query
         # and rank differently from every device path.
         query = np.asarray(query).astype(emb.dtype)
-    emb = np.ascontiguousarray(emb, dtype=np.float32)
     query = np.ascontiguousarray(query, dtype=np.float32)
     n, d = emb.shape
     k = min(k, n)
     if k == 0:
         return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
     native = get_native()
+    if is_bf16 and native is not None and hasattr(native, "topk_bf16"):
+        # Stream the bf16 shard directly (widening happens inside the C++
+        # scan loop) — a per-query O(N*d) f32 conversion of the corpus
+        # would defeat the zero-copy mmap contract of the host path.
+        # .view(uint16): bf16 has no stable buffer-protocol format char
+        # ("cannot include dtype 'E' in a buffer"); the bit pattern is
+        # what the scanner wants anyway.
+        emb_c = np.ascontiguousarray(emb).view(np.uint16)
+        scores, idx = native.topk_bf16(emb_c.data, n, d, query.data, k)
+        return np.asarray(scores, np.float32), np.asarray(idx, np.int64)
+    emb = np.ascontiguousarray(emb, dtype=np.float32)
     if native is not None:
         scores, idx = native.topk(emb.data, n, d, query.data, k)
         return np.asarray(scores, np.float32), np.asarray(idx, np.int64)

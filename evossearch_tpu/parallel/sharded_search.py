@@ -170,6 +170,19 @@ def _sharded_topk_certified_jit(emb, counts, queries, k: int, mesh: Mesh):
     return _sharded_topk_certified(emb, counts, queries, k, mesh)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def _sharded_topk_certified_packed(emb, counts, queries, k: int, mesh: Mesh):
+    """Certified sharded search packed into ONE (Q, 2k+1) f32 fetch
+    [scores | float(indices) | ok] — same single-transfer trick as
+    index.search._fast_topk_batch_packed (each device->host fetch pays
+    this rig's ~29ms relay floor; even PCIe charges latency). Callers
+    must guard n_pad < 2**24 so global indices are exact as f32 values."""
+    ok, s, i = _sharded_topk_certified(emb, counts, queries, k, mesh)
+    return jnp.concatenate(
+        [s, i.astype(jnp.float32), ok[:, None].astype(jnp.float32)], axis=1
+    )
+
+
 @dataclass
 class ShardedIndex:
     """An embedding corpus row-sharded across a device mesh."""
@@ -223,13 +236,22 @@ class ShardedIndex:
         queries_d = jnp.asarray(queries, jnp.float32)
         rows_per_shard = self.emb.shape[0] // self.mesh.devices.size
         if rows_per_shard >= CERT_MIN_SHARD_ROWS and k <= 128:
-            ok, s, i = (
-                np.asarray(x) for x in _sharded_topk_certified_jit(
+            if self.emb.shape[0] < (1 << 24):
+                # one packed fetch; f32-exact indices below 2**24
+                packed = np.asarray(_sharded_topk_certified_packed(
                     self.emb, self.counts, queries_d, k, self.mesh
+                ))
+                s = packed[:, :k].copy()
+                i = packed[:, k : 2 * k].astype(np.int64)
+                ok = packed[:, -1] > 0
+            else:
+                ok, s, i = (
+                    np.asarray(x) for x in _sharded_topk_certified_jit(
+                        self.emb, self.counts, queries_d, k, self.mesh
+                    )
                 )
-            )
-            s, i = s.copy(), i.astype(np.int64)
-            ok = ok.astype(bool)
+                s, i = s.copy(), i.astype(np.int64)
+                ok = ok.astype(bool)
             if not ok.all():
                 slow_s, slow_i = _sharded_topk_jit(
                     self.emb, self.counts,

@@ -91,14 +91,36 @@ void scan_range(const float* emb, int64_t d, int64_t begin, int64_t end,
   }
 }
 
-PyObject* py_topk(PyObject*, PyObject* args) {
+// bfloat16 = the top 16 bits of an f32; widening is a shift, so the scan
+// streams the mmap'd bf16 shard directly — no f32 copy of the corpus
+// (the store defaults to bf16 and a per-query O(N*d) conversion would
+// defeat the zero-copy host path).
+inline float bf16_to_f32(uint16_t b) {
+  uint32_t u = (uint32_t)b << 16;
+  float f;
+  std::memcpy(&f, &u, 4);
+  return f;
+}
+
+void scan_range_bf16(const uint16_t* emb, int64_t d, int64_t begin,
+                     int64_t end, const float* query, TopK* top) {
+  for (int64_t row = begin; row < end; ++row) {
+    const uint16_t* v = emb + row * d;
+    float acc = 0.f;
+    for (int64_t j = 0; j < d; ++j) acc += bf16_to_f32(v[j]) * query[j];
+    if (acc > top->worst()) top->push(acc, row);
+  }
+}
+
+PyObject* topk_impl(PyObject* args, bool bf16) {
   Py_buffer emb_buf, q_buf;
   Py_ssize_t n, d;
   int k;
   if (!PyArg_ParseTuple(args, "y*nny*i", &emb_buf, &n, &d, &q_buf, &k)) {
     return nullptr;
   }
-  if ((Py_ssize_t)(n * d * sizeof(float)) > emb_buf.len ||
+  size_t elem = bf16 ? sizeof(uint16_t) : sizeof(float);
+  if ((Py_ssize_t)(n * d * elem) > emb_buf.len ||
       (Py_ssize_t)(d * sizeof(float)) > q_buf.len || k < 0) {
     PyBuffer_Release(&emb_buf);
     PyBuffer_Release(&q_buf);
@@ -106,6 +128,7 @@ PyObject* py_topk(PyObject*, PyObject* args) {
     return nullptr;
   }
   const float* emb = static_cast<const float*>(emb_buf.buf);
+  const uint16_t* emb16 = static_cast<const uint16_t*>(emb_buf.buf);
   const float* query = static_cast<const float*>(q_buf.buf);
   if (k > n) k = (int)n;
 
@@ -119,7 +142,11 @@ PyObject* py_topk(PyObject*, PyObject* args) {
 
   Py_BEGIN_ALLOW_THREADS;
   if (nthreads == 1) {
-    scan_range(emb, d, 0, n, query, &parts[0]);
+    if (bf16) {
+      scan_range_bf16(emb16, d, 0, n, query, &parts[0]);
+    } else {
+      scan_range(emb, d, 0, n, query, &parts[0]);
+    }
   } else {
     std::vector<std::thread> threads;
     int64_t chunk = (n + nthreads - 1) / nthreads;
@@ -127,7 +154,13 @@ PyObject* py_topk(PyObject*, PyObject* args) {
       int64_t begin = (int64_t)t * chunk;
       int64_t end = std::min<int64_t>(begin + chunk, n);
       if (begin >= end) break;
-      threads.emplace_back(scan_range, emb, d, begin, end, query, &parts[t]);
+      if (bf16) {
+        threads.emplace_back(scan_range_bf16, emb16, d, begin, end, query,
+                             &parts[t]);
+      } else {
+        threads.emplace_back(scan_range, emb, d, begin, end, query,
+                             &parts[t]);
+      }
     }
     for (auto& th : threads) th.join();
   }
@@ -152,6 +185,14 @@ PyObject* py_topk(PyObject*, PyObject* args) {
   Py_DECREF(scores);
   Py_DECREF(indices);
   return out;
+}
+
+PyObject* py_topk(PyObject*, PyObject* args) {
+  return topk_impl(args, /*bf16=*/false);
+}
+
+PyObject* py_topk_bf16(PyObject*, PyObject* args) {
+  return topk_impl(args, /*bf16=*/true);
 }
 
 // ---------------------------------------------------------------- jpeg
@@ -315,6 +356,9 @@ PyObject* py_decode_jpeg_batch(PyObject*, PyObject* args) {
 PyMethodDef methods[] = {
     {"topk", py_topk, METH_VARARGS,
      "topk(emb_buffer, n, d, query_buffer, k) -> (scores, indices)"},
+    {"topk_bf16", py_topk_bf16, METH_VARARGS,
+     "topk_bf16(bf16_emb_buffer, n, d, f32_query_buffer, k) -> "
+     "(scores, indices)"},
     {"decode_jpeg", py_decode_jpeg, METH_VARARGS,
      "decode_jpeg(data, min_short_side=0) -> (h, w, rgb_bytes)"},
     {"decode_jpeg_batch", py_decode_jpeg_batch, METH_VARARGS,

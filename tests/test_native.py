@@ -116,3 +116,39 @@ def test_fast_decode_embedding_cosine():
     )
     cos = float((e_fast * e_full).sum())
     assert cos > 0.999, cos
+
+
+def test_topk_bf16_streams_raw_shards():
+    """topk_bf16 scans the bf16 bit pattern directly and must match the
+    f32 scan of the widened values bit-for-bit (same ties contract)."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(5)
+    emb16 = rng.standard_normal((4000, 64)).astype(ml_dtypes.bfloat16)
+    q = rng.standard_normal(64).astype(np.float32)
+    s16, i16 = native.topk_bf16(
+        np.ascontiguousarray(emb16).view(np.uint16).data, 4000, 64,
+        np.ascontiguousarray(q).data, 10,
+    )
+    emb32 = np.ascontiguousarray(emb16.astype(np.float32))
+    s32, i32 = native.topk(emb32.data, 4000, 64, np.ascontiguousarray(q).data, 10)
+    np.testing.assert_array_equal(np.asarray(i16), np.asarray(i32))
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), rtol=1e-6)
+
+
+def test_exact_search_host_bf16_matches_device_contract():
+    """exact_search_host on a bf16 corpus quantizes the query like the
+    device kernels and agrees with the f32 oracle over widened values."""
+    import ml_dtypes
+
+    from evossearch_tpu.index.search import exact_search_host
+
+    rng = np.random.default_rng(6)
+    emb16 = rng.standard_normal((3000, 32)).astype(ml_dtypes.bfloat16)
+    q = rng.standard_normal(32).astype(np.float32)
+    s, i = exact_search_host(emb16, q, 12)
+    q16 = q.astype(ml_dtypes.bfloat16).astype(np.float32)
+    ref = emb16.astype(np.float32) @ q16
+    order = np.lexsort((np.arange(3000), -ref))[:12]
+    np.testing.assert_array_equal(i, order)
+    np.testing.assert_allclose(s, ref[order], rtol=1e-6)

@@ -98,3 +98,47 @@ def test_engine_microbatched_equals_direct(tmp_path, monkeypatch):
     np.testing.assert_array_equal(i1, i0)
     np.testing.assert_allclose(s1, s0, atol=1e-5)
     assert batched._batcher.dispatches >= 1
+
+
+def test_engine_ivf_through_batcher(tmp_path, monkeypatch):
+    """IVF searches route through the MicroBatcher (round-2): batched
+    results must equal the direct IVF path, concurrent queries must all
+    succeed, and short-probe padding (-1 ids) must be filtered out."""
+    import threading
+
+    rng = np.random.default_rng(2)
+    for i in range(10):
+        arr = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"i{i}.jpg", quality=90)
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    monkeypatch.setenv("EVOSSEARCH_INDEX_KIND", "ivf")
+    # nprobe=1 over many tiny lists -> probes cover < k rows, exercising
+    # the -1 padding filter after the batcher's row slicing
+    monkeypatch.setenv("EVOSSEARCH_IVF_NLIST", "8")
+    monkeypatch.setenv("EVOSSEARCH_IVF_NPROBE", "1")
+
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", "0")  # direct
+    direct = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    assert direct.index_folder(str(tmp_path)) == 10
+    q = direct.encode_text("query")
+    s0, i0, _ = direct.search_embedding(str(tmp_path), q, 6)
+    assert 0 < len(i0) <= 6 and (i0 >= 0).all()
+
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", "2.0")
+    batched = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    results = {}
+
+    def hit(tag, text):
+        qv = batched.encode_text(text)
+        results[tag] = batched.search_embedding(str(tmp_path), qv, 6)
+
+    ts = [threading.Thread(target=hit, args=(t, t))
+          for t in ("a", "b", "c", "query")]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert batched._batcher.dispatches >= 1
+    for tag, (s, i, _) in results.items():
+        assert len(s) == len(i) and (i >= 0).all(), tag
+    s1, i1, _ = results["query"]
+    np.testing.assert_array_equal(i1, i0)
+    np.testing.assert_allclose(s1, s0, atol=1e-5)
