@@ -547,6 +547,41 @@ class SearchEngine:
         self.counters.add("queries")
         return scores, idx, reader
 
+    def stored_embedding(self, folder: str, image_path: str):
+        """The stored row embedding for an already-indexed, UNCHANGED
+        file, or None. The find-similar flow re-encodes the original
+        (reference oldapp.py:1741-1760, 2092-2106); when the query is an
+        indexed file whose (mtime, size) still match, the stored row IS
+        the vector that encode would produce (the pipeline is
+        deterministic), so the encode dispatch can be skipped."""
+        import os
+
+        entry, reader = self._cached_index(folder)
+        if reader is None or not reader.metadata:
+            return None
+        rows = entry.get("path_rows")
+        if rows is None:
+            # benign race: built at most once per cache entry per process
+            rows = {m["path"]: r for r, m in enumerate(reader.metadata)}
+            entry["path_rows"] = rows
+        row = rows.get(str(image_path))
+        if row is None:
+            row = rows.get(os.path.abspath(image_path))
+        if row is None:
+            return None
+        try:
+            st = os.stat(image_path)
+        except OSError:
+            return None
+        meta = reader.metadata[row]
+        if meta.get("mtime") != st.st_mtime or meta.get("size") != st.st_size:
+            return None
+        for shard in reader.shard_arrays():
+            if row < shard.shape[0]:
+                return np.asarray(shard[row], np.float32)
+            row -= shard.shape[0]
+        return None
+
     def search_text(self, folder: str, query: str, k: int):
         return self.search_embedding(folder, self._encode_text_device(query), k)
 

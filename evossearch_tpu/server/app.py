@@ -317,14 +317,20 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
                     return jsonify(
                         {"error": f"Image file not found: {image_path}"}, 400
                     )
-                try:
-                    img = Image.open(image_path)
-                    query_emb = engine.encode_images([img])[0]
-                except Exception as path_error:
-                    return jsonify(
-                        {"error": f"Error processing image from path: {path_error}"},
-                        400,
-                    )
+                # Find-similar short-circuit: if the path is an indexed,
+                # unchanged file, its stored row equals what re-encoding
+                # would produce — skip the decode+encode dispatch.
+                query_emb = engine.stored_embedding(folder, image_path)
+                if query_emb is None:
+                    try:
+                        img = Image.open(image_path)
+                        query_emb = engine.encode_images([img])[0]
+                    except Exception as path_error:
+                        return jsonify(
+                            {"error": "Error processing image from path: "
+                                      f"{path_error}"},
+                            400,
+                        )
             result = engine.search_embedding(folder, query_emb, limit)
             if result is None:
                 return jsonify({"error": "Folder not indexed"}, 400)

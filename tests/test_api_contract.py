@@ -358,3 +358,42 @@ def test_stats_endpoint(client):
     r = client.get("/stats")
     assert r.status_code == 200
     assert "counters" in r.json and "stage_timers" in r.json
+
+
+def test_find_similar_short_circuits_to_stored_embedding(
+    client, fixture_folder, monkeypatch
+):
+    """Path-variant queries for indexed unchanged files must use the
+    stored row (no re-encode dispatch); modified files must re-encode."""
+    target = str(sorted(fixture_folder.glob("*.jpg"))[1])
+    engine = client.app.engine
+
+    def boom(images):  # pragma: no cover - failure path
+        raise AssertionError("encode dispatched for an indexed file")
+
+    monkeypatch.setattr(engine, "encode_images", boom)
+    r = client.post(
+        "/search_by_image",
+        data={"folder": str(fixture_folder), "image_path": target, "limit": "3"},
+    )
+    assert r.status_code == 200
+    assert r.json["results"][0]["path"] == target
+    assert r.json["results"][0]["similarity"] > 0.99
+    monkeypatch.undo()
+
+    # touching the file invalidates the short-circuit -> re-encode path
+    import os
+    os.utime(target, (1, 1))
+    called = {}
+    real = type(engine).encode_images
+
+    def spy(imgs):
+        called["yes"] = True
+        return real(engine, imgs)
+
+    monkeypatch.setattr(engine, "encode_images", spy)
+    r = client.post(
+        "/search_by_image",
+        data={"folder": str(fixture_folder), "image_path": target, "limit": "3"},
+    )
+    assert r.status_code == 200 and called.get("yes")
