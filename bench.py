@@ -334,6 +334,7 @@ def bench_ivf() -> None:
     qs += 0.05 * rng.standard_normal((32, d)).astype(np.float32)
     qs /= np.linalg.norm(qs, axis=1, keepdims=True)
     exact_s, exact_i = exact_search_batch(emb_d, qs, K)
+    ivf.search(qs[0], K)  # compile the (1, d) single-query program
     hits = total = 0
     t0 = time.perf_counter()
     for row, q in enumerate(qs):
@@ -358,7 +359,9 @@ def main() -> None:
 
     # 10M runs BEFORE ivf: the IVF bucket tensor is ~4 GB and interleaving
     # it with the 10 GB corpus fragments HBM enough to slow the sweep.
-    budgets = {"bench_index": 480}
+    # bench_encode's budget covers a worst-case cold remote compile of the
+    # seq-merge program — 300s tripped once on a slow relay day.
+    budgets = {"bench_index": 480, "bench_encode": 480}
     for extra in (bench_encode, bench_encode_l14, bench_device_pipeline,
                   bench_index, bench_search_10m, bench_ivf):
         try:

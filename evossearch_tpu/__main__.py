@@ -44,6 +44,24 @@ def main(argv: list[str] | None = None) -> int:
     p_serve.add_argument("--host", default=None)
     p_serve.add_argument("--port", type=int, default=None)
 
+    p_train = sub.add_parser(
+        "train",
+        help="contrastive fine-tune on a folder of images + captions.json "
+             "(pairs dataset; writes clip.npz usable via "
+             "EVOSSEARCH_CHECKPOINT)",
+    )
+    p_train.add_argument("folder")
+    p_train.add_argument("--epochs", type=int, default=1)
+    p_train.add_argument("--batch-size", type=int, default=32)
+    p_train.add_argument("--lr", type=float, default=1e-5)
+    p_train.add_argument("--out", default="ckpts", help="checkpoint dir")
+    p_train.add_argument("--resume", action="store_true",
+                         help="resume from --out/clip.npz")
+    p_train.add_argument("--init-from", default=None,
+                         help="initial .npz checkpoint (e.g. from convert)")
+    p_train.add_argument("--model", default=None,
+                         help="CLIP variant (default: EVOSSEARCH_CLIP_MODEL)")
+
     p_conv = sub.add_parser(
         "convert",
         help="convert an OpenAI .pt / HF CLIP checkpoint to the native "
@@ -53,6 +71,36 @@ def main(argv: list[str] | None = None) -> int:
     p_conv.add_argument("out", help="output .npz path")
 
     args = parser.parse_args(argv)
+
+    if args.command == "train":
+        from .core import CLIP_MODEL_SPECS, config
+        from .models.checkpoint import load_params
+        from .tokenizer import load_tokenizer
+        from .train import PairDataset, fit
+
+        name = args.model or config.CLIP_MODEL
+        spec = CLIP_MODEL_SPECS[name]
+        params = None
+        if args.init_from:
+            params, loaded_spec = load_params(args.init_from)
+            if loaded_spec != spec:
+                print(f"--init-from checkpoint is {loaded_spec.name}, "
+                      f"not {name}", file=sys.stderr)
+                return 1
+        tokenizer = load_tokenizer(config.BPE_VOCAB_PATH or None)
+        dataset = PairDataset(
+            args.folder, tokenizer, spec, batch_size=args.batch_size
+        )
+        params, history = fit(
+            spec, dataset, epochs=args.epochs, learning_rate=args.lr,
+            params=params, checkpoint_dir=args.out, resume=args.resume,
+        )
+        print(json.dumps({
+            "success": True, "model": name, "epochs": args.epochs,
+            "loss_history": [round(float(h), 4) for h in history],
+            "checkpoint": f"{args.out}/clip.npz",
+        }))
+        return 0
 
     if args.command == "convert":
         # torch (CPU) only needed here — the serving/indexing paths never

@@ -9,8 +9,13 @@ from .contrastive import (
     make_train_step,
     train_mesh,
 )
+from .data import PairDataset
+from .loop import fit, retrieval_accuracy
 
 __all__ = [
+    "PairDataset",
+    "fit",
+    "retrieval_accuracy",
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_shardings",

@@ -128,3 +128,33 @@ def test_cli_convert_hf_checkpoint(tmp_path, capsys):
     assert spec.embed_dim == 32 and spec.vision_layers == 2
     emb = np.asarray(encode_image(params, np.zeros((2, 32, 32, 3), np.float32), spec))
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+
+
+def test_cli_train_on_pair_folder(tmp_path, capsys, monkeypatch):
+    """`python -m evossearch_tpu train <folder>` fine-tunes on an
+    images+captions.json folder and writes a loadable checkpoint."""
+    from evossearch_tpu.core import CLIP_MODEL_SPECS
+    from evossearch_tpu.models.checkpoint import load_params
+
+    import evossearch_tpu.__main__ as cli
+
+    rng = np.random.default_rng(0)
+    captions = {}
+    for i in range(8):
+        fname = f"img_{i:03d}.jpg"
+        arr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / fname, quality=92)
+        captions[fname] = f"photo number {i}"
+    (tmp_path / "captions.json").write_text(json.dumps(captions))
+
+    monkeypatch.setitem(CLIP_MODEL_SPECS, "tiny-train", TINY)
+    out = tmp_path / "ckpts"
+    rc = cli.main([
+        "train", str(tmp_path), "--model", "tiny-train",
+        "--batch-size", "4", "--epochs", "1", "--out", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["success"] is True and len(report["loss_history"]) == 1
+    params, spec = load_params(out / "clip.npz")
+    assert spec.embed_dim == TINY.embed_dim
