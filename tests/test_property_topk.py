@@ -76,3 +76,60 @@ def test_host_scan_matches_oracle(data):
     emb, q, k = data
     scores, idx = exact_search_host(emb, q, k)
     _check(emb, q, k, idx, scores)
+
+
+@st.composite
+def tree_corpus(draw):
+    """Corpora sized for the tree kernel (d % 128 == 0), with planted
+    exact ties — the score-only in-kernel merges (round 2) must never
+    CERTIFY a wrong answer; uncertified rows are allowed and routed to
+    the exact fallback by callers."""
+    n = draw(st.integers(600, 4000))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, 128)).astype(np.float32)
+    if draw(st.booleans()):
+        src = rng.integers(0, n, size=max(1, n // 4))
+        dst = rng.integers(0, n, size=max(1, n // 4))
+        emb[dst] = emb[src]  # exact duplicate rows -> exact score ties
+    q = draw(st.integers(1, 4))
+    queries = rng.standard_normal((q, 128)).astype(np.float32)
+    if draw(st.booleans()):
+        queries[0] = emb[rng.integers(0, n)]  # self-query: top score tie-prone
+    k = draw(st.integers(1, 16))
+    return emb, queries, k
+
+
+@settings(max_examples=12, deadline=None)
+@given(tree_corpus())
+def test_tree_kernel_certified_rows_never_wrong(data):
+    import jax.numpy as jnp
+
+    from evossearch_tpu.ops.topk_pallas import fused_topk_batch_tree
+
+    emb, queries, k = data
+    ok, s, i = fused_topk_batch_tree(
+        jnp.asarray(emb), jnp.asarray(queries), k, interpret=True
+    )
+    ok, s, i = np.asarray(ok), np.asarray(s), np.asarray(i)
+    s64 = emb.astype(np.float64)
+    for row in range(queries.shape[0]):
+        if not ok[row]:
+            continue  # uncertified -> callers run the exact fallback
+        scores = s64 @ queries[row].astype(np.float64)
+        oracle = np.lexsort((np.arange(len(scores)), -scores))[:k]
+        # certified rows must honor the contract: where the kernel's
+        # answer differs from the f64 oracle, it may only be f32
+        # arithmetic noise — the f64 scores of the returned set must
+        # match the oracle's to f32 tolerance (nothing genuinely better
+        # was missed), and EXACT f64 ties must surface lowest-index
+        # first among equal-score prefixes.
+        if not np.array_equal(i[row], oracle):
+            np.testing.assert_allclose(
+                scores[i[row]], scores[oracle], atol=1e-4
+            )
+        # exact-tie index order on the kernel's own reported scores
+        rep = s[row]
+        for a in range(k - 1):
+            if rep[a] == rep[a + 1]:
+                assert i[row][a] < i[row][a + 1], (i[row], rep)
