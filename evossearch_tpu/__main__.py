@@ -111,11 +111,11 @@ def main(argv: list[str] | None = None) -> int:
         from .models.convert import load_checkpoint
 
         params, spec = load_checkpoint(args.src)
-        save_params(args.out, params, spec)
+        written = save_params(args.out, params, spec)
         n_params = sum(int(p.size) for p in _tree_leaves(params))
         print(json.dumps({
             "success": True, "model": spec.name, "params": n_params,
-            "out": args.out,
+            "out": str(written),
         }))
         return 0
 

@@ -245,11 +245,30 @@ class SearchEngine:
                 if img.mode != "RGB":
                     img = img.convert("RGB")
                 arrays.append(np.asarray(img, dtype=np.uint8))
-        with self.timers.stage("preprocess"):
-            canvases, a_h_u, a_w_u, size_idx = prepare_batch(
-                arrays, target=self.spec.image_size
+        from .preprocess.pipeline import MAX_UNIQUE_SIZES
+
+        # Split into groups of <= MAX_UNIQUE_SIZES distinct sizes: the
+        # per-unique-size resample matrices scale with U and would blow up
+        # on a large batch where every image has its own size.
+        groups: list[list] = [[]]
+        sizes: set = set()
+        for a in arrays:
+            hw = a.shape[:2]
+            if hw not in sizes and len(sizes) >= MAX_UNIQUE_SIZES:
+                groups.append([])
+                sizes = set()
+            groups[-1].append(a)
+            sizes.add(hw)
+        outs = []
+        for group in groups:
+            with self.timers.stage("preprocess"):
+                canvases, a_h_u, a_w_u, size_idx = prepare_batch(
+                    group, target=self.spec.image_size
+                )
+            outs.append(
+                self.encode_prepared(canvases, a_h_u, a_w_u, size_idx)
             )
-        return self.encode_prepared(canvases, a_h_u, a_w_u, size_idx)
+        return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
 
     def encode_text(self, text: str) -> np.ndarray:
         """Query text -> (embed_dim,) L2-normalized float32 embedding.

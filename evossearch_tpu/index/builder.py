@@ -221,7 +221,10 @@ def _pipelined_build(
         return timers.stage(stage) if timers is not None else nullcontext()
 
     def producer():
+        from ..preprocess.pipeline import MAX_UNIQUE_SIZES
+
         batch, bpaths, bmeta = [], [], []
+        batch_sizes: set = set()
 
         def emit():
             nonlocal batch, bpaths, bmeta
@@ -230,6 +233,7 @@ def _pipelined_build(
                     prepared = prepare_batch(batch, target=target)
                 out.put((*prepared, bpaths, bmeta))
                 batch, bpaths, bmeta = [], [], []
+                batch_sizes.clear()
 
         try:
             todo = [p for p in paths if str(p) not in done]
@@ -252,7 +256,16 @@ def _pipelined_build(
                         log.warning("Error processing %s: %s", img_path, e)
                         continue
                     spath = str(img_path)
+                    # flush BEFORE admitting a new distinct size past the
+                    # cap (bounds the per-unique-size resample matrices;
+                    # see preprocess.pipeline.MAX_UNIQUE_SIZES)
+                    hw = (arr.shape[0], arr.shape[1])
+                    if hw not in batch_sizes and (
+                        len(batch_sizes) >= MAX_UNIQUE_SIZES
+                    ):
+                        emit()
                     batch.append(arr)
+                    batch_sizes.add(hw)
                     bpaths.append(spath)
                     bmeta.append(
                         {"path": spath, "mtime": stat.st_mtime,

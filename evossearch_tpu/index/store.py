@@ -267,7 +267,20 @@ class IndexWriter:
                 # Belt-and-braces: if someone promoted our fully-written
                 # staging dir already (pre-lock recovery code, external
                 # tooling), the publish still succeeded — don't 500.
-                if not (self.final_root / "manifest.json").exists():
+                if (self.final_root / "manifest.json").exists():
+                    pass
+                elif (
+                    not self.root.exists()
+                    and (old / "manifest.json").exists()
+                ):
+                    # First-publish race: a concurrent reader's
+                    # _recover_interrupted_swap promoted our staging dir
+                    # between the manifest write above and taking the
+                    # lock; the final_root we displaced to .old a few
+                    # lines up WAS the promoted new index (recovery only
+                    # fires when no live index existed). Put it back.
+                    old.rename(self.final_root)
+                else:
                     raise
         if old.exists():
             shutil.rmtree(old)

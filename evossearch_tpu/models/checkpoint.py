@@ -39,14 +39,22 @@ def _unflatten(flat: dict) -> dict:
     return tree
 
 
-def save_params(path: str | Path, params: dict, spec: CLIPModelSpec) -> None:
+def save_params(path: str | Path, params: dict, spec: CLIPModelSpec) -> Path:
+    """Write a native checkpoint; returns the ACTUAL path written.
+
+    np.savez silently appends ``.npz`` to suffix-less paths, which would
+    desynchronize the saved file from what callers report/load — so the
+    path is normalized here and returned."""
     path = Path(path)
+    if path.suffix != ".npz":
+        path = path.with_name(path.name + ".npz")
     path.parent.mkdir(parents=True, exist_ok=True)
     flat = _flatten(params)
     flat["__spec__"] = np.frombuffer(
         json.dumps(dataclasses.asdict(spec)).encode(), dtype=np.uint8
     )
     np.savez(path, **flat)
+    return path
 
 
 def load_params(path: str | Path) -> tuple[dict, CLIPModelSpec]:

@@ -143,7 +143,10 @@ def encode_text(
 
 def init_params(key: jax.Array, spec: CLIPModelSpec) -> dict:
     """Random-init full CLIP param pytree (OpenAI init scheme)."""
-    kv, kt, kp, kc, ke, kpv, kpt = jax.random.split(key, 7)
+    # 9 distinct keys: reusing one key for two draws makes the underlying
+    # random streams identical (counter-based PRNG), correlating e.g. the
+    # visual and text positional embeddings at from-scratch training init.
+    kv, kt, kp, kc, ke, kpv, kpt, kte, ktb = jax.random.split(key, 9)
     vw, tw = spec.vision_width, spec.text_width
     patch_dim = spec.patch_size * spec.patch_size * 3
     return {
@@ -164,9 +167,9 @@ def init_params(key: jax.Array, spec: CLIPModelSpec) -> dict:
         },
         "text": {
             "token_embed": jax.random.normal(kt, (spec.vocab_size, tw)) * 0.02,
-            "pos_embed": jax.random.normal(ke, (spec.context_length, tw)) * 0.01,
+            "pos_embed": jax.random.normal(kte, (spec.context_length, tw)) * 0.01,
             "blocks": init_tower_params(
-                kt,
+                ktb,
                 TowerConfig(
                     width=tw, layers=spec.text_layers, heads=spec.text_heads, causal=True
                 ),

@@ -187,6 +187,10 @@ def infer_openai_spec(sd: dict) -> CLIPModelSpec:
             and spec.patch_size == patch_size
             and spec.vision_layers == vision_layers
             and spec.embed_dim == embed_dim
+            # image_size MUST participate: OpenAI's ViT-L/14@336px matches
+            # ViT-L/14 on every other field but carries a 577-row
+            # pos_embed that cannot serve 224px preprocessing.
+            and spec.image_size == image_size
         ):
             return spec
     return CLIPModelSpec(

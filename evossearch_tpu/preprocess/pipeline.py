@@ -91,6 +91,16 @@ def device_preprocess_indexed(canvases, a_h_unique, a_w_unique, size_idx,
     )
 
 
+# Cap on distinct source sizes per prepared batch. The per-unique-size
+# resample matrices are (U, target, canvas) f32 zero-padded to the batch
+# canvas — at U ~ batch_size (a scraped folder where every photo has its
+# own size) a 512-image batch would build and ship ~1 GB of matrices,
+# inverting the traffic win they exist for. Producers flush a batch when
+# it accumulates this many distinct sizes (32 keeps the matrices under
+# ~60 MB at the default canvas).
+MAX_UNIQUE_SIZES = 32
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:

@@ -105,7 +105,10 @@ class Request:
         self.query_string = environ.get("QUERY_STRING", "")
         self.content_type = environ.get("CONTENT_TYPE", "")
         try:
-            length = int(environ.get("CONTENT_LENGTH") or 0)
+            # clamp: a negative Content-Length must not become read(-1)
+            # (read-to-EOF — the unbounded read the 413 cap exists to
+            # prevent)
+            length = max(0, int(environ.get("CONTENT_LENGTH") or 0))
         except ValueError:
             length = 0
         self.body = environ["wsgi.input"].read(length) if length else b""
