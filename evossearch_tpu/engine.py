@@ -327,8 +327,21 @@ class SearchEngine:
             return self._folder_locks.setdefault(_canon(folder), threading.Lock())
 
     def open_index(self, folder: str) -> IndexReader | None:
+        from pathlib import Path
+
         reader = IndexReader.open(folder, self.cfg.INDEX_FOLDER_NAME)
-        if reader is None and self.cfg.MIGRATE_LEGACY:
+        if (
+            reader is None
+            and self.cfg.MIGRATE_LEGACY
+            # Only take the folder lock when legacy artifacts actually
+            # exist: the lock is shared with /index runs, and grabbing it
+            # for every not-yet-indexed folder made /check_index and
+            # /search block behind a whole first-time indexing run
+            # instead of answering "not indexed".
+            and (
+                Path(folder) / self.cfg.INDEX_FOLDER_NAME / "index.faiss"
+            ).exists()
+        ):
             from .index.legacy import migrate_legacy_index
 
             # Migration rewrites the index dir; serialize with /index runs
@@ -341,7 +354,11 @@ class SearchEngine:
                         folder, self.spec.name, self.spec.embed_dim,
                         self.cfg.INDEX_FOLDER_NAME,
                     )
-                    if migrated:
+                    # `is not None`: a legitimate 0-row legacy index
+                    # migrates to a published empty index (count 0) and
+                    # must read as indexed, like the reference's
+                    # load_index would.
+                    if migrated is not None:
                         reader = IndexReader.open(
                             folder, self.cfg.INDEX_FOLDER_NAME
                         )
@@ -390,8 +407,13 @@ class SearchEngine:
             # entry["lock"] guards lazy materialization of corpus-sized
             # state (device matrix / ShardedIndex / IVF): a burst of first
             # queries must build it once, not once per thread.
+            # Stamp with the mtime statted BEFORE open: a re-index
+            # finalizing between our open and a fresh stat would key the
+            # OLD reader under the NEW manifest mtime and serve stale
+            # results forever. With the pre-open stamp that interleaving
+            # just causes one extra re-open on the next query.
             entry = {
-                "mtime": reader.mtime(), "reader": reader,
+                "mtime": mtime, "reader": reader,
                 "lock": threading.Lock(),
             }
             self._index_cache[key] = entry
@@ -413,15 +435,23 @@ class SearchEngine:
 
     # -- micro-batched serving path --
 
-    @functools.cached_property
+    @property
     def _batcher(self):
-        if self.cfg.MICROBATCH_MS <= 0:
-            return None
-        from .serving import MicroBatcher
+        # NOT functools.cached_property: that descriptor is no longer
+        # locked (3.12+), and two concurrent first searches would each
+        # spawn a MicroBatcher worker thread, leaking the loser forever.
+        with self._cache_lock:
+            if "_batcher_inst" not in self.__dict__:
+                if self.cfg.MICROBATCH_MS <= 0:
+                    self._batcher_inst = None
+                else:
+                    from .serving import MicroBatcher
 
-        return MicroBatcher(
-            self._execute_search_batch, window_ms=self.cfg.MICROBATCH_MS
-        )
+                    self._batcher_inst = MicroBatcher(
+                        self._execute_search_batch,
+                        window_ms=self.cfg.MICROBATCH_MS,
+                    )
+            return self._batcher_inst
 
     # -- lazy corpus-state materialization (double-checked per-entry lock:
     #    a burst of first queries builds each corpus-sized object once) --
@@ -460,7 +490,18 @@ class SearchEngine:
                         and ivf_path.stat().st_mtime >= entry["mtime"]
                     ):
                         ivf = IVFIndex.load(ivf_path)
-                        if ivf is not None and ivf.n != reader.count:
+                        # effective nlist mirrors IVFIndex.build's
+                        # resolution (0 = auto sqrt(n), clamped to n); a
+                        # persisted index built under an old
+                        # EVOSSEARCH_IVF_NLIST would otherwise silently
+                        # ignore the new setting forever
+                        want = self.cfg.IVF_NLIST or max(
+                            1, int(reader.count ** 0.5)
+                        )
+                        want = min(want, max(reader.count, 1))
+                        if ivf is not None and (
+                            ivf.n != reader.count or ivf.nlist != want
+                        ):
                             ivf = None
                     if ivf is None:
                         ivf = IVFIndex.build(
@@ -631,12 +672,20 @@ class SearchEngine:
         return self.cfg.MIGRATE_LEGACY and self.is_indexed(folder)
 
     def index_paths(self, folder: str) -> frozenset[str] | None:
-        """Set of absolute paths currently in a folder's index (cached)."""
+        """Set of paths currently in a folder's index (cached). Contains
+        both the stored spelling AND the absolute spelling of every row:
+        indexes built from a relative folder path store relative paths,
+        while /image/ membership checks arrive absolute — without the
+        union every image of such an index 403s."""
+        import os
+
         entry, reader = self._cached_index(folder)
         if reader is None:
             return None
         if "pathset" not in entry:
             with entry["lock"]:
                 if "pathset" not in entry:
-                    entry["pathset"] = frozenset(reader.paths)
+                    entry["pathset"] = frozenset(reader.paths) | frozenset(
+                        os.path.abspath(p) for p in reader.paths
+                    )
         return entry["pathset"]

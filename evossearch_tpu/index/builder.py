@@ -211,6 +211,19 @@ def _pipelined_build(
 
     target = encoder.spec.image_size
     out: "queue.Queue" = queue.Queue(maxsize=3)
+    cancelled = threading.Event()
+
+    def safe_put(item) -> bool:
+        """put() that gives up when the consumer has cancelled the build
+        (a plain blocking put on the bounded queue would wedge the
+        producer thread forever if the consumer died)."""
+        while not cancelled.is_set():
+            try:
+                out.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
     timers = getattr(encoder, "timers", None)
     from contextlib import nullcontext
 
@@ -231,13 +244,16 @@ def _pipelined_build(
             if batch:
                 with timed("index_prepare"):
                     prepared = prepare_batch(batch, target=target)
-                out.put((*prepared, bpaths, bmeta))
+                if not safe_put((*prepared, bpaths, bmeta)):
+                    return
                 batch, bpaths, bmeta = [], [], []
                 batch_sizes.clear()
 
         try:
             todo = [p for p in paths if str(p) not in done]
             for start in range(0, len(todo), batch_size):
+                if cancelled.is_set():
+                    return
                 chunk = todo[start : start + batch_size]
                 # threaded native batch decode (GIL released per worker)
                 with timed("index_decode"):
@@ -274,19 +290,32 @@ def _pipelined_build(
                     if len(batch) >= batch_size:
                         emit()
             emit()
-            out.put(None)
+            safe_put(None)
         except BaseException as e:  # surface producer crashes to the consumer
-            out.put(e)
+            safe_put(e)
 
     thread = threading.Thread(target=producer, name="index-producer", daemon=True)
     thread.start()
-    while True:
-        item = out.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        canvases, a_h_u, a_w_u, size_idx, bpaths, bmeta = item
-        emb = encoder.encode_prepared(canvases, a_h_u, a_w_u, size_idx)
-        writer.append(np.asarray(emb, np.float32), bpaths, bmeta)
-    thread.join()
+    try:
+        while True:
+            item = out.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            canvases, a_h_u, a_w_u, size_idx, bpaths, bmeta = item
+            emb = encoder.encode_prepared(canvases, a_h_u, a_w_u, size_idx)
+            writer.append(np.asarray(emb, np.float32), bpaths, bmeta)
+        thread.join()
+    except BaseException:
+        # Consumer failure (ENOSPC, XLA error, ...): signal the producer
+        # and drain the bounded queue so its blocked put() can complete —
+        # otherwise the thread (plus up to 3 decoded canvas batches)
+        # leaks for the process lifetime on every failed /index.
+        cancelled.set()
+        while thread.is_alive():
+            try:
+                out.get(timeout=0.1)
+            except queue.Empty:
+                pass
+        raise

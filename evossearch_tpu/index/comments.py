@@ -15,7 +15,10 @@ from contextlib import contextmanager
 from datetime import datetime
 from pathlib import Path
 
+from ..utils import get_logger
 from .store import index_dir
+
+log = get_logger("index.comments")
 
 
 def _comments_file(folder, index_folder_name: str = ".clip_index") -> Path:
@@ -66,7 +69,7 @@ def save_comments(folder, data: dict, index_folder_name: str = ".clip_index") ->
         tmp.replace(f)
         return True
     except Exception as e:
-        print(f"Error saving comments: {e}")
+        log.warning("Error saving comments: %s", e)
         return False
 
 

@@ -205,7 +205,9 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
         if not folder:
             return jsonify({"error": "No folder specified"}, 400)
         try:
-            reader = engine.open_index(folder)
+            # cached reader (one manifest stat) — a full open_index would
+            # re-parse O(corpus) JSON per request
+            _, reader = engine._cached_index(folder)
             if reader is None:
                 return jsonify({"error": "Folder not indexed"}, 400)
             comments_data = load_comments(folder, cfg.INDEX_FOLDER_NAME)

@@ -160,3 +160,114 @@ def test_encode_images_splits_heterogeneous_batches(tmp_path, monkeypatch):
     singles = np.concatenate([eng.encode_images([a]) for a in arrays])
     assert batched.shape == (8, TINY.embed_dim)
     np.testing.assert_allclose(batched, singles, atol=2e-5)
+
+
+def _make_folder(tmp_path, n=4):
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+        ).save(tmp_path / f"x{i}.jpg")
+    return tmp_path
+
+
+def test_open_index_does_not_block_behind_indexing_lock(tmp_path, monkeypatch):
+    """/check_index and /search for a folder being indexed for the first
+    time must answer 'not indexed' immediately, not block on the
+    per-folder lock for the whole indexing run."""
+    import threading
+
+    from evossearch_tpu.core import Config
+    from evossearch_tpu.engine import SearchEngine
+
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    eng = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    folder = str(_make_folder(tmp_path))
+    lock = eng._folder_lock(folder)
+    lock.acquire()  # simulate an in-flight first-time /index
+    try:
+        result = {}
+
+        def probe():
+            result["reader"] = eng.open_index(folder)
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout=5)
+        assert not t.is_alive(), "open_index blocked on the indexing lock"
+        assert result["reader"] is None
+    finally:
+        lock.release()
+
+
+def test_cache_stamped_with_preopen_mtime(tmp_path, monkeypatch):
+    """_cached_index must key the entry by the mtime statted BEFORE open:
+    a re-index finalizing in between must cause a re-open on the next
+    query, not serve the old reader forever."""
+    from evossearch_tpu.core import Config
+    from evossearch_tpu.engine import SearchEngine, _canon
+
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    eng = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    folder = str(_make_folder(tmp_path))
+    assert eng.index_folder(folder) == 4
+    entry, reader = eng._cached_index(folder)
+    stamped = entry["mtime"]
+    # simulate a re-index bumping the manifest AFTER the entry was built
+    manifest = tmp_path / ".clip_index" / "manifest.json"
+    import os
+    os.utime(manifest, (manifest.stat().st_mtime + 10,) * 2)
+    entry2, reader2 = eng._cached_index(folder)
+    assert entry2 is not entry, "stale entry served after manifest change"
+
+
+def test_serve_image_for_relatively_indexed_folder(tmp_path, monkeypatch):
+    """Indexes built from a relative folder path store relative paths;
+    /image/ requests arrive absolute and must still be served."""
+    from evossearch_tpu.core import Config
+    from evossearch_tpu.engine import SearchEngine
+    from evossearch_tpu.server import TestClient, create_app
+
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    _make_folder(tmp_path / "photos" if False else tmp_path)
+    monkeypatch.chdir(tmp_path.parent)
+    rel = tmp_path.name
+    eng = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    assert eng.index_folder(rel) == 4
+    client = TestClient(create_app(engine=eng, cfg=eng.cfg))
+    abs_target = str(tmp_path / "x1.jpg")
+    r = client.get("/image/" + abs_target)
+    assert r.status_code == 200, r.status_code
+
+
+def test_failed_encode_does_not_leak_producer_thread(tmp_path, monkeypatch):
+    """A consumer-side failure mid-build must unblock and terminate the
+    producer thread instead of leaking it on the bounded queue."""
+    import threading
+
+    from evossearch_tpu.core import Config
+    from evossearch_tpu.engine import SearchEngine
+
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    eng = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    folder = str(_make_folder(tmp_path, n=8))
+
+    def boom(*a, **k):
+        raise RuntimeError("device on fire")
+
+    monkeypatch.setattr(eng, "encode_prepared", boom)
+    monkeypatch.setenv("EVOSSEARCH_BATCH_SIZE", "2")
+    with pytest.raises(RuntimeError):
+        eng.index_folder(folder)
+    import time
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        if not any(
+            t.name == "index-producer" and t.is_alive()
+            for t in threading.enumerate()
+        ):
+            break
+        time.sleep(0.05)
+    leaked = [t.name for t in threading.enumerate()
+              if t.name == "index-producer" and t.is_alive()]
+    assert not leaked, leaked
