@@ -30,6 +30,18 @@ def load_env_file(path: str | os.PathLike = ".env", *, override: bool = False) -
         text = path.read_text(encoding="utf-8")
     except OSError:
         return loaded
+    for key, value in _iter_env_lines(text, strip_quotes=True):
+        loaded[key] = value
+        if override or key not in os.environ:
+            os.environ[key] = value
+    return loaded
+
+
+def _iter_env_lines(text: str, *, strip_quotes: bool):
+    """The one KEY=VALUE line parser both .env consumers share —
+    load_env_file strips surrounding quotes (dotenv semantics) while the
+    /settings rewrite preserves raw values verbatim; a future syntax fix
+    lands in both through this iterator."""
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line.startswith("#") or "=" not in line:
@@ -37,14 +49,15 @@ def load_env_file(path: str | os.PathLike = ".env", *, override: bool = False) -
         key, _, value = line.partition("=")
         key = key.strip()
         value = value.strip()
-        if len(value) >= 2 and value[0] == value[-1] and value[0] in "'\"":
+        if (
+            strip_quotes
+            and len(value) >= 2
+            and value[0] == value[-1]
+            and value[0] in "'\""
+        ):
             value = value[1:-1]
-        if not key:
-            continue
-        loaded[key] = value
-        if override or key not in os.environ:
-            os.environ[key] = value
-    return loaded
+        if key:
+            yield key, value
 
 
 def _env_bool(name: str, default: str = "False") -> bool:
@@ -56,6 +69,13 @@ def _env_int(name: str, default: str) -> int:
         return int(os.getenv(name, default))
     except ValueError:
         return int(default)
+
+
+def _env_float(name: str, default: str) -> float:
+    try:
+        return float(os.getenv(name, default))
+    except ValueError:
+        return float(default)
 
 
 class Config:
@@ -142,7 +162,7 @@ class Config:
         # Micro-batching window for concurrent searches (ms; 0 disables).
         # Concurrent same-folder queries within the window share one device
         # dispatch (~20x amortization measured on this rig, bench.py).
-        self.MICROBATCH_MS = float(os.getenv("EVOSSEARCH_MICROBATCH_MS", "2.0"))
+        self.MICROBATCH_MS = _env_float("EVOSSEARCH_MICROBATCH_MS", "2.0")
         # Index kind: exact (default) or ivf (approximate, >=99% recall@48).
         self.INDEX_KIND = os.getenv("EVOSSEARCH_INDEX_KIND", "exact")
         # IVF probes per query (0 = auto: the recall-calibrated value the
@@ -211,19 +231,13 @@ _MANAGED_ENV_KEYS = {
 
 
 def _parse_env_file(path: Path) -> dict[str, str]:
-    """Parse a .env without touching os.environ."""
-    out: dict[str, str] = {}
+    """Parse a .env without touching os.environ; values kept verbatim
+    (no quote stripping) so the /settings rewrite preserves them."""
     try:
-        for raw in path.read_text(encoding="utf-8").splitlines():
-            line = raw.strip()
-            if not line or line.startswith("#") or "=" not in line:
-                continue
-            key, _, value = line.partition("=")
-            if key.strip():
-                out[key.strip()] = value.strip()
+        text = path.read_text(encoding="utf-8")
     except OSError:
-        pass
-    return out
+        return {}
+    return dict(_iter_env_lines(text, strip_quotes=False))
 
 
 def write_env_file(settings: dict, path: str | os.PathLike = ".env") -> None:

@@ -300,7 +300,9 @@ function makeTile(res) {
   const meta = document.createElement("div");
   meta.className = "meta";
   const name = document.createElement("span");
-  name.className = "name"; name.title = res.path; name.textContent = res.filename;
+  name.className = "name"; name.textContent = res.filename;
+  name.title = res.path + (res.metadata && res.metadata.size
+    ? " (" + fmtSize(res.metadata.size) + ")" : "");
   const side = document.createElement("span");
   side.textContent = res.similarity !== undefined
     ? res.similarity.toFixed(3)

@@ -50,19 +50,58 @@ class PairDataset:
     def __len__(self) -> int:
         return len(self.items) // self.batch_size
 
+    def _canonical(self, arr: np.ndarray) -> np.ndarray:
+        """Host resample+crop to (target, target), mirroring the device
+        stage's math (two resample GEMMs with inter-pass round/clamp).
+
+        Training batches must be STATIC-shape — a shrunken or
+        mixed-size batch retraces the jitted fwd+bwd step (minutes of
+        recompile per distinct shape) and unbalances mesh sharding —
+        so every image is canonicalized to one size here and
+        prepare_batch always sees U=1 unique size (also sidestepping
+        the per-unique-size matrix blowup MAX_UNIQUE_SIZES bounds on
+        the serving path)."""
+        from ..preprocess.resize import clip_resize_crop_matrices
+
+        t = self.spec.image_size
+        h, w = arr.shape[:2]
+        if (h, w) == (t, t):
+            return arr
+        mh, mw = clip_resize_crop_matrices(h, w, t)
+        x = np.einsum("sw,hwc->hsc", mw, arr.astype(np.float32))
+        x = np.clip(np.round(x), 0, 255)
+        x = np.einsum("th,hsc->tsc", mh, x)
+        return np.clip(np.round(x), 0, 255).astype(np.uint8)
+
     def epoch(self):
-        """Yields (canvases, a_h_u, a_w_u, size_idx, tokens) batches."""
+        """Yields (canvases, a_h_u, a_w_u, size_idx, tokens) batches of
+        EXACTLY batch_size rows (failed decodes are skipped and the
+        batch topped up from later items; the ragged tail is dropped —
+        static shapes, and the contrastive loss needs full batches of
+        negatives)."""
         order = self.rng.permutation(len(self.items))
-        for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+        pending: list[tuple[np.ndarray, str]] = []
+        for start in range(0, len(order), self.batch_size):
             chunk = [self.items[i] for i in order[start : start + self.batch_size]]
             arrays = load_batch_rgb([p for p, _ in chunk])
-            keep = [(a, cap) for a, (_, cap) in zip(arrays, chunk) if a is not None]
-            if len(keep) < 2:  # contrastive loss needs negatives
-                continue
-            canv, a_h, a_w, idx = prepare_batch(
-                [a for a, _ in keep], target=self.spec.image_size
-            )
-            tokens = self.tokenizer.tokenize(
-                [cap for _, cap in keep], self.spec.context_length, truncate=True
-            )
-            yield canv, a_h, a_w, idx, tokens
+            for a, (_, cap) in zip(arrays, chunk):
+                if a is None:
+                    continue
+                pending.append((self._canonical(a), cap))
+                if len(pending) == self.batch_size:
+                    yield self._finalize(pending)
+                    pending = []
+        # tail smaller than batch_size: only yield when nothing full was
+        # possible AND it can still form a contrastive batch (tiny
+        # datasets in tests); full-size epochs drop it for static shapes
+        if pending and len(self.items) < self.batch_size and len(pending) >= 2:
+            yield self._finalize(pending)
+
+    def _finalize(self, pending):
+        canv, a_h, a_w, idx = prepare_batch(
+            [a for a, _ in pending], target=self.spec.image_size
+        )
+        tokens = self.tokenizer.tokenize(
+            [cap for _, cap in pending], self.spec.context_length, truncate=True
+        )
+        return canv, a_h, a_w, idx, tokens

@@ -14,17 +14,21 @@ from collections import defaultdict, deque
 from contextlib import contextmanager
 
 _FORMAT = "%(asctime)s %(levelname)s %(name)s: %(message)s"
+_setup_lock = __import__("threading").Lock()
 
 
 def get_logger(name: str) -> logging.Logger:
     logger = logging.getLogger(f"evossearch.{name}")
-    if not logging.getLogger("evossearch").handlers:
-        root = logging.getLogger("evossearch")
-        handler = logging.StreamHandler()
-        handler.setFormatter(logging.Formatter(_FORMAT))
-        root.addHandler(handler)
-        root.setLevel(logging.INFO)
-        root.propagate = False
+    # locked check-then-add: two request threads racing the first call
+    # would otherwise both install handlers and double every log line
+    with _setup_lock:
+        if not logging.getLogger("evossearch").handlers:
+            root = logging.getLogger("evossearch")
+            handler = logging.StreamHandler()
+            handler.setFormatter(logging.Formatter(_FORMAT))
+            root.addHandler(handler)
+            root.setLevel(logging.INFO)
+            root.propagate = False
     return logger
 
 

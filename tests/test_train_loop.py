@@ -91,3 +91,55 @@ def test_dataset_skips_missing_and_corrupt(pair_folder):
     batches = list(ds.epoch())
     total = sum(b[0].shape[0] for b in batches)
     assert 0 < total <= 15  # corrupt one skipped, ghost not listed
+
+def test_fit_resume_restores_optimizer_state(pair_folder, tmp_path):
+    """resume=True must restore the Adam moments alongside the params
+    (re-initialized moments give the first post-resume steps unscaled
+    updates)."""
+    ds = PairDataset(pair_folder, CLIPTokenizer(), TINY, batch_size=8, seed=0)
+    fit(TINY, ds, epochs=1, checkpoint_dir=tmp_path)
+    assert (tmp_path / "train_state.npz").exists()
+    import numpy as _np
+    with _np.load(tmp_path / "train_state.npz") as data:
+        moment_norms = [
+            float(_np.abs(data[k]).sum()) for k in data.files if k != "epoch"
+        ]
+    assert any(n > 0 for n in moment_norms)  # real moments persisted
+
+    import evossearch_tpu.train.loop as loop_mod
+
+    restored = {}
+    real = loop_mod._load_train_state
+
+    def spy(path, template):
+        out = real(path, template)
+        restored["state"] = out[0]
+        return out
+
+    loop_mod._load_train_state = spy
+    try:
+        fit(TINY, ds, epochs=1, checkpoint_dir=tmp_path, resume=True)
+    finally:
+        loop_mod._load_train_state = real
+    assert restored.get("state") is not None
+
+
+def test_dataset_static_batches_across_mixed_sizes(tmp_path):
+    """A mixed-size captioned folder must yield EXACTLY batch_size rows
+    per batch with ONE unique canonical size (static shapes for the
+    jitted train step)."""
+    rng = np.random.default_rng(0)
+    captions = {}
+    for i in range(10):
+        fname = f"m{i}.jpg"
+        arr = rng.integers(0, 256, (40 + 3 * i, 52 + 5 * i, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / fname, quality=92)
+        captions[fname] = f"photo {i}"
+    (tmp_path / "captions.json").write_text(json.dumps(captions))
+    ds = PairDataset(tmp_path, CLIPTokenizer(), TINY, batch_size=4, seed=0)
+    shapes = set()
+    for canv, a_h, a_w, idx, tokens in ds.epoch():
+        assert canv.shape[0] == 4  # exact batch size, tail dropped
+        assert a_h.shape[0] == 1 or np.unique(idx).size == 1  # one size
+        shapes.add(canv.shape)
+    assert len(shapes) == 1, shapes  # static across the epoch
