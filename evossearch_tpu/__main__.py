@@ -19,6 +19,68 @@ def _tree_leaves(tree):
         yield tree
 
 
+def _folder_fingerprint(folder, extensions) -> list[tuple]:
+    """(path, mtime, size) for every candidate image, in scan order."""
+    from .index.builder import scan_folder
+
+    fp = []
+    for p in scan_folder(folder, extensions):
+        try:
+            st = p.stat()
+        except OSError:
+            continue
+        fp.append((str(p), st.st_mtime, st.st_size))
+    return fp
+
+
+def watch_folder(
+    engine, folder: str, interval_s: float, max_cycles: int | None = None
+) -> int:
+    """Poll ``folder`` every ``interval_s`` seconds and incrementally
+    re-index when any file is added, removed, or modified. Runs until
+    interrupted (or ``max_cycles`` polls, for tests); returns the number
+    of re-index runs performed."""
+    import time
+
+    exts = engine.cfg.SUPPORTED_EXTENSIONS
+
+    def indexed_fingerprint():
+        """What the LIVE INDEX covers — the baseline must be the index,
+        not the current folder, so changes made before watch started
+        still trigger a run."""
+        _, reader = engine._cached_index(folder)
+        if reader is None or not reader.metadata:
+            return []
+        return sorted(
+            (m["path"], m["mtime"], m["size"]) for m in reader.metadata
+        )
+
+    last = indexed_fingerprint()
+    runs = 0
+    cycles = 0
+    print(f"watching {folder} every {interval_s:g}s (ctrl-c to stop)",
+          file=sys.stderr)
+    while max_cycles is None or cycles < max_cycles:
+        cycles += 1
+        try:
+            time.sleep(interval_s)
+        except KeyboardInterrupt:
+            break
+        current = sorted(_folder_fingerprint(folder, exts))
+        if current == last:
+            continue
+        try:
+            count = engine.index_folder(folder, incremental=True)
+            runs += 1
+            print(json.dumps({"success": True, "count": count,
+                              "watch_run": runs}), flush=True)
+        except Exception as e:
+            print(f"watch re-index failed: {e}", file=sys.stderr)
+            continue  # keep watching; next change retries
+        last = indexed_fingerprint()
+    return runs
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="evossearch_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -29,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
                          help="resume a crashed indexing run")
     p_index.add_argument("--incremental", action="store_true",
                          help="reuse embeddings of unchanged files")
+    p_index.add_argument("--watch", type=float, default=0, metavar="SECONDS",
+                         help="keep running: poll the folder every N "
+                              "seconds and incrementally re-index when "
+                              "files change (the reference requires a "
+                              "manual /index per change)")
 
     p_search = sub.add_parser("search", help="text search an indexed folder")
     p_search.add_argument("folder")
@@ -140,10 +207,12 @@ def main(argv: list[str] | None = None) -> int:
             args.folder, resume=args.resume,
             incremental=args.incremental or None,
         )
-        if count == 0:
+        if count == 0 and not args.watch:
             print("No images found in folder", file=sys.stderr)
             return 1
         print(json.dumps({"success": True, "count": count}))
+        if args.watch:
+            watch_folder(engine, args.folder, args.watch)
         return 0
 
     if args.command in ("search", "similar"):

@@ -75,6 +75,9 @@ class SearchEngine:
         # Serializes concurrent /index runs per folder (the staging dir is
         # per-folder; the reference's single-threaded server never races).
         self._folder_locks: dict[str, threading.Lock] = {}
+        # LRU of text -> device embedding (see _encode_text_device)
+        self._text_cache: "OrderedDict[str, object]" = OrderedDict()
+        self._text_cache_lock = threading.Lock()
         self.timers = StageTimer()
         self.counters = Counters()
 
@@ -284,7 +287,18 @@ class SearchEngine:
     def _encode_text_device(self, text: str):
         """encode_text but leaving the embedding ON DEVICE — the serving
         path feeds it straight into the search dispatch, avoiding a
-        device->host->device round trip per query."""
+        device->host->device round trip per query.
+
+        Repeated queries (users iterate on the same few phrases; the
+        frontend re-submits on sort changes) hit a small LRU instead of
+        re-dispatching the text tower — params are immutable for the
+        engine's lifetime, so a cached embedding never goes stale."""
+        with self._text_cache_lock:
+            cached = self._text_cache.get(text)
+            if cached is not None:
+                self._text_cache.move_to_end(text)
+                self.counters.add("text_cache_hits")
+                return cached
         with self.timers.stage("encode_text"):
             tokens = self.tokenizer.tokenize(
                 [text], self.spec.context_length,
@@ -292,6 +306,11 @@ class SearchEngine:
             )
             emb = self._jit_encode_text(self.params, tokens)[0]
         self.counters.add("texts_encoded")
+        with self._text_cache_lock:
+            self._text_cache[text] = emb
+            self._text_cache.move_to_end(text)
+            while len(self._text_cache) > 1024:  # ~2 MB of 512-d f32
+                self._text_cache.popitem(last=False)
         return emb
 
     # -- index operations --

@@ -158,3 +158,28 @@ def test_cli_train_on_pair_folder(tmp_path, capsys, monkeypatch):
     assert report["success"] is True and len(report["loss_history"]) == 1
     params, spec = load_params(out / "clip.npz")
     assert spec.embed_dim == TINY.embed_dim
+
+
+def test_watch_folder_reindexes_on_change(folder, monkeypatch):
+    """watch mode re-indexes when files change and is quiet when nothing
+    changed."""
+    import evossearch_tpu.__main__ as cli
+    from evossearch_tpu.core import Config
+    from evossearch_tpu.engine import SearchEngine
+
+    eng = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    assert eng.index_folder(str(folder)) == 4
+
+    # no change -> no re-index
+    runs = cli.watch_folder(eng, str(folder), interval_s=0.01, max_cycles=2)
+    assert runs == 0
+
+    # add a file -> exactly one incremental re-index
+    rng = np.random.default_rng(1)
+    Image.fromarray(
+        rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    ).save(folder / "new.jpg")
+    runs = cli.watch_folder(eng, str(folder), interval_s=0.01, max_cycles=3)
+    assert runs == 1
+    _, reader = eng._cached_index(str(folder))
+    assert reader.count == 5

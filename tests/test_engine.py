@@ -97,3 +97,22 @@ def test_encode_images_batching_consistency(engine, fixture_folder):
     one_by_one = np.concatenate([engine.encode_images([im]) for im in imgs])
     batched = engine.encode_images(imgs)
     np.testing.assert_allclose(batched, one_by_one, atol=2e-5)
+
+
+def test_text_embedding_cache(monkeypatch):
+    """Repeated text queries reuse the cached device embedding (one
+    encode dispatch, counted), and distinct texts don't collide."""
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    from evossearch_tpu.core import Config
+    from evossearch_tpu.engine import SearchEngine
+
+    eng = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    a1 = eng.encode_text("a red car")
+    encoded_once = eng.counters.snapshot()["texts_encoded"]
+    a2 = eng.encode_text("a red car")
+    snap = eng.counters.snapshot()
+    assert snap["texts_encoded"] == encoded_once  # no second dispatch
+    assert snap.get("text_cache_hits", 0) >= 1
+    np.testing.assert_array_equal(a1, a2)
+    b = eng.encode_text("a blue boat")
+    assert not np.allclose(a1, b)
