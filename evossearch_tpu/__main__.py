@@ -77,7 +77,11 @@ def watch_folder(
         except Exception as e:
             print(f"watch re-index failed: {e}", file=sys.stderr)
             continue  # keep watching; next change retries
-        last = indexed_fingerprint()
+        # Baseline becomes the FOLDER fingerprint that triggered this run
+        # (not the index's): an undecodable file is in the folder forever
+        # but never in the index, and an index-based baseline would
+        # re-index every cycle until the end of time.
+        last = current
     return runs
 
 

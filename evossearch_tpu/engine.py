@@ -30,6 +30,8 @@ from .utils import Counters, StageTimer, get_logger
 
 log = get_logger("engine")
 
+_UNSET = object()  # _batcher's lock-free "not initialized" sentinel
+
 
 def _bucket(n: int, cap: int) -> int:
     """Smallest power-of-two >= n, capped — bounds jit recompiles."""
@@ -459,6 +461,11 @@ class SearchEngine:
         # NOT functools.cached_property: that descriptor is no longer
         # locked (3.12+), and two concurrent first searches would each
         # spawn a MicroBatcher worker thread, leaking the loser forever.
+        # Double-checked: the lock-free read keeps the hot path (2-3
+        # accesses per search) off the global cache lock.
+        inst = self.__dict__.get("_batcher_inst", _UNSET)
+        if inst is not _UNSET:
+            return inst
         with self._cache_lock:
             if "_batcher_inst" not in self.__dict__:
                 if self.cfg.MICROBATCH_MS <= 0:
@@ -704,7 +711,14 @@ class SearchEngine:
         if "pathset" not in entry:
             with entry["lock"]:
                 if "pathset" not in entry:
+                    # Resolve relative stored spellings against the
+                    # FOLDER (rows are direct children — the scan is
+                    # non-recursive), NOT os.path.abspath: abspath uses
+                    # the server's CWD, which need not match the
+                    # index-time CWD.
+                    base = _canon(folder)
                     entry["pathset"] = frozenset(reader.paths) | frozenset(
-                        os.path.abspath(p) for p in reader.paths
+                        os.path.join(base, os.path.basename(p))
+                        for p in reader.paths
                     )
         return entry["pathset"]

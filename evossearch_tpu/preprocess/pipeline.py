@@ -41,8 +41,16 @@ def _host_shrink(arr: np.ndarray, max_side: int, target: int) -> np.ndarray:
     scale = min(1.0, max_side / max(h, w), 4 * target / min(h, w))
     nh = min(max_side, max(1, int(h * scale)))
     nw = min(max_side, max(1, int(w * scale)))
-    a_h = resample_matrix(h, nh)
-    a_w = resample_matrix(w, nw)
+    return host_apply_resample(arr, resample_matrix(h, nh), resample_matrix(w, nw))
+
+
+def host_apply_resample(
+    arr: np.ndarray, a_h: np.ndarray, a_w: np.ndarray
+) -> np.ndarray:
+    """Two-pass separable host resample with PIL's inter-pass round/clamp
+    — the same math ``device_preprocess`` runs on device. ONE home for it
+    so host pre-shrink and the training loader can't drift from the
+    device stage."""
     out = np.einsum("sw,hwc->hsc", a_w, arr.astype(np.float32))
     out = np.clip(np.round(out), 0, 255)
     out = np.einsum("th,hsc->tsc", a_h, out)

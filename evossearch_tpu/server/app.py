@@ -206,8 +206,12 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
             return jsonify({"error": "No folder specified"}, 400)
         try:
             # cached reader (one manifest stat) — a full open_index would
-            # re-parse O(corpus) JSON per request
+            # re-parse O(corpus) JSON per request. Cache miss falls back
+            # to open_index so unmigrated legacy-FAISS folders still get
+            # migrated on first touch of this route.
             _, reader = engine._cached_index(folder)
+            if reader is None:
+                reader = engine.open_index(folder)
             if reader is None:
                 return jsonify({"error": "Folder not indexed"}, 400)
             comments_data = load_comments(folder, cfg.INDEX_FOLDER_NAME)

@@ -61,17 +61,22 @@ class PairDataset:
         prepare_batch always sees U=1 unique size (also sidestepping
         the per-unique-size matrix blowup MAX_UNIQUE_SIZES bounds on
         the serving path)."""
+        from ..preprocess.pipeline import (
+            DEFAULT_MAX_SIDE, _host_shrink, host_apply_resample,
+        )
         from ..preprocess.resize import clip_resize_crop_matrices
 
         t = self.spec.image_size
+        if arr.shape[0] > DEFAULT_MAX_SIDE or arr.shape[1] > DEFAULT_MAX_SIDE:
+            # oversized photos pre-shrink like the serving path — a
+            # direct 12000->224 matrix pair would einsum a ~GB f32
+            # intermediate on the 1-core host
+            arr = _host_shrink(arr, DEFAULT_MAX_SIDE, t)
         h, w = arr.shape[:2]
         if (h, w) == (t, t):
             return arr
         mh, mw = clip_resize_crop_matrices(h, w, t)
-        x = np.einsum("sw,hwc->hsc", mw, arr.astype(np.float32))
-        x = np.clip(np.round(x), 0, 255)
-        x = np.einsum("th,hsc->tsc", mh, x)
-        return np.clip(np.round(x), 0, 255).astype(np.uint8)
+        return host_apply_resample(arr, mh, mw)
 
     def epoch(self):
         """Yields (canvases, a_h_u, a_w_u, size_idx, tokens) batches of
@@ -81,6 +86,7 @@ class PairDataset:
         negatives)."""
         order = self.rng.permutation(len(self.items))
         pending: list[tuple[np.ndarray, str]] = []
+        yielded = 0
         for start in range(0, len(order), self.batch_size):
             chunk = [self.items[i] for i in order[start : start + self.batch_size]]
             arrays = load_batch_rgb([p for p, _ in chunk])
@@ -90,11 +96,13 @@ class PairDataset:
                 pending.append((self._canonical(a), cap))
                 if len(pending) == self.batch_size:
                     yield self._finalize(pending)
+                    yielded += 1
                     pending = []
-        # tail smaller than batch_size: only yield when nothing full was
-        # possible AND it can still form a contrastive batch (tiny
-        # datasets in tests); full-size epochs drop it for static shapes
-        if pending and len(self.items) < self.batch_size and len(pending) >= 2:
+        # ragged tail: normally dropped for static shapes, but when NO
+        # full batch came out of the whole epoch (tiny dataset, or decode
+        # failures ate the margin) training must still see the data —
+        # one smaller batch beats zero steps and a NaN history.
+        if pending and yielded == 0 and len(pending) >= 2:
             yield self._finalize(pending)
 
     def _finalize(self, pending):

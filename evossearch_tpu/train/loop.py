@@ -30,11 +30,17 @@ from .contrastive import (
 log = get_logger("train")
 
 
-def retrieval_accuracy(params, spec, batches, compute_dtype=jnp.float32) -> float:
-    """Image->text top-1 retrieval accuracy within each batch."""
+import functools
 
-    # One jitted program per batch shape — eager tower dispatch would pay
-    # this rig's per-dispatch RPC floor hundreds of times per batch.
+
+@functools.lru_cache(maxsize=8)
+def _retrieval_fwd(spec: CLIPModelSpec, compute_dtype):
+    """Jitted eval forward, cached per (spec, dtype) at module level —
+    a closure-local jit would recompile the full towers on every
+    retrieval_accuracy call (the jit cache dies with the closure); eager
+    dispatch would pay this rig's per-dispatch RPC floor hundreds of
+    times per batch."""
+
     @jax.jit
     def fwd(params, canv, a_h, a_w, idx, tokens):
         images = device_preprocess_indexed(
@@ -44,6 +50,12 @@ def retrieval_accuracy(params, spec, batches, compute_dtype=jnp.float32) -> floa
         txt_emb = encode_text(params, tokens, spec, compute_dtype=compute_dtype)
         return jnp.argmax(img_emb @ txt_emb.T, axis=1)
 
+    return fwd
+
+
+def retrieval_accuracy(params, spec, batches, compute_dtype=jnp.float32) -> float:
+    """Image->text top-1 retrieval accuracy within each batch."""
+    fwd = _retrieval_fwd(spec, compute_dtype)
     correct = total = 0
     for canv, a_h, a_w, idx, tokens in batches:
         pred = np.asarray(fwd(
@@ -133,18 +145,29 @@ def fit(
         # resume must restore the Adam moments too — re-initialized
         # moments give the first post-resume steps unscaled updates (a
         # loss spike uninterrupted runs don't have)
-        restored, _ = _load_train_state(state_ckpt, opt_state)
+        restored, start_epoch = _load_train_state(state_ckpt, opt_state)
         if restored is not None:
+            # preserve the template's shardings: a bare device_put would
+            # land the Adam moments unsharded on one device (OOM at L/14
+            # scale on a mesh)
+            restored = jax.device_put(
+                restored,
+                jax.tree_util.tree_map(lambda x: x.sharding, opt_state),
+            )
             opt_state = restored
-            if mesh is not None:
-                opt_state = jax.device_put(opt_state)
-            log.info("restored optimizer state from %s", state_ckpt)
+            start_epoch += 1  # continue numbering after the saved epoch
+            log.info("restored optimizer state from %s (epoch %d)",
+                     state_ckpt, start_epoch)
+        else:
+            start_epoch = 0
+    else:
+        start_epoch = 0
     img_sharding = tok_sharding = None
     if mesh is not None:
         img_sharding, tok_sharding = batch_shardings(mesh)
 
     history = []
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, start_epoch + epochs):
         losses = []  # device scalars; fetched once per epoch (each
         # per-step float() would sync the pipeline on the dispatch floor)
         for i, (canv, a_h, a_w, idx, tokens) in enumerate(dataset.epoch()):

@@ -183,3 +183,19 @@ def test_watch_folder_reindexes_on_change(folder, monkeypatch):
     assert runs == 1
     _, reader = eng._cached_index(str(folder))
     assert reader.count == 5
+
+
+def test_watch_folder_quiet_with_undecodable_file(folder, monkeypatch):
+    """Regression: an undecodable image is in the folder forever but
+    never in the index — the watcher must not re-index every cycle."""
+    import evossearch_tpu.__main__ as cli
+    from evossearch_tpu.core import Config
+    from evossearch_tpu.engine import SearchEngine
+
+    (folder / "broken.jpg").write_bytes(b"not a jpeg")
+    eng = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    assert eng.index_folder(str(folder)) == 4  # corrupt one skipped
+    runs = cli.watch_folder(eng, str(folder), interval_s=0.01, max_cycles=4)
+    assert runs <= 1  # one catch-up run at most, then quiet
+    runs = cli.watch_folder(eng, str(folder), interval_s=0.01, max_cycles=3)
+    assert runs <= 1

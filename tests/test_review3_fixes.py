@@ -249,14 +249,18 @@ def test_failed_encode_does_not_leak_producer_thread(tmp_path, monkeypatch):
     from evossearch_tpu.engine import SearchEngine
 
     monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    # batch size 2 BEFORE Config snapshots the env: 8 images / batch 2
+    # means the producer has batches queued behind the bounded queue when
+    # the consumer dies — the scenario the drain logic exists for
+    monkeypatch.setenv("EVOSSEARCH_BATCH_SIZE", "2")
     eng = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    assert eng.cfg.BATCH_SIZE == 2
     folder = str(_make_folder(tmp_path, n=8))
 
     def boom(*a, **k):
         raise RuntimeError("device on fire")
 
     monkeypatch.setattr(eng, "encode_prepared", boom)
-    monkeypatch.setenv("EVOSSEARCH_BATCH_SIZE", "2")
     with pytest.raises(RuntimeError):
         eng.index_folder(folder)
     import time

@@ -143,3 +143,23 @@ def test_dataset_static_batches_across_mixed_sizes(tmp_path):
         assert a_h.shape[0] == 1 or np.unique(idx).size == 1  # one size
         shapes.add(canv.shape)
     assert len(shapes) == 1, shapes  # static across the epoch
+
+
+def test_epoch_yields_despite_decode_failures_at_batch_size(tmp_path):
+    """Regression: len(items) == batch_size with one corrupt image must
+    still yield a (smaller) batch — zero batches meant fit() ran no
+    steps and reported a NaN history."""
+    rng = np.random.default_rng(0)
+    captions = {}
+    for i in range(8):
+        fname = f"img_{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        ).save(tmp_path / fname, quality=92)
+        captions[fname] = f"photo {i}"
+    (tmp_path / "captions.json").write_text(json.dumps(captions))
+    (tmp_path / "img_0.jpg").write_bytes(b"broken")
+    ds = PairDataset(tmp_path, CLIPTokenizer(), TINY, batch_size=8, seed=0)
+    batches = list(ds.epoch())
+    assert len(batches) == 1
+    assert batches[0][0].shape[0] == 7
