@@ -402,7 +402,15 @@ TREE_CLASSES = LANES
 def _tree_tile_rows(dtype) -> int:
     """Corpus rows per tree-kernel tile. VMEM-bound: the bf16 tile is
     16384x512x2 = 16 MB (double-buffered) + (128, 16384) f32 scores 8 MB +
-    tree intermediates; f32 tiles halve to stay inside VMEM."""
+    tree intermediates; f32 tiles halve to stay inside VMEM.
+
+    Tile sweep at 10M bf16 (v5e): SMALLER tiles run the kernel itself
+    faster (4096: ~12.8 ms vs 16384: ~15 ms net — better DMA overlap),
+    but each halving of the tile doubles the candidate count the merge
+    must select over (2 * N/tile * 128): at 4096 the ApproxTopK merge
+    over 625k candidates/query drops certification to 0.958 (recall
+    misses at fetch=80) and end-to-end is ~6 ms SLOWER. 16384 is the
+    measured optimum end to end."""
     return 16384 if dtype == jnp.bfloat16 else 8192
 
 
