@@ -341,6 +341,12 @@ class IndexReader:
                     return None
             if sum(s["rows"] for s in manifest["shards"]) != manifest["count"]:
                 return None
+            # Materialize the mmaps INSIDE the validated window: once
+            # mapped, a concurrent publish renaming the files away cannot
+            # tear this reader (POSIX keeps mapped files alive); lazy
+            # mapping left a gap where open() succeeded but the first
+            # shard access raised FileNotFoundError mid-request.
+            reader.shard_arrays()
             return reader
         except Exception:
             return None
