@@ -218,19 +218,26 @@ class SearchEngine:
             )
             size_idx = np.concatenate([size_idx, np.zeros(pad, size_idx.dtype)])
         out = []
+        # Two buckets in flight: fetching each bucket's embeddings
+        # synchronously serialized upload -> compute -> fetch per bucket;
+        # a bounded window lets bucket i+1's host->device transfer and
+        # dispatch overlap bucket i's execution and fetch, while capping
+        # live device canvases at 2 buckets of HBM.
+        in_flight: list = []
         with self.timers.stage("prep_encode"):
             for start in range(0, canvases.shape[0], b):
                 sl = slice(start, start + b)
                 batch = canvases[sl]
                 if sharding is not None:
                     batch = jax.device_put(batch, sharding)
-                out.append(
-                    np.asarray(
-                        self._jit_prep_encode(
-                            self.params, batch, a_h_u, a_w_u, size_idx[sl]
-                        )
+                in_flight.append(
+                    self._jit_prep_encode(
+                        self.params, batch, a_h_u, a_w_u, size_idx[sl]
                     )
                 )
+                if len(in_flight) > 2:
+                    out.append(np.asarray(in_flight.pop(0)))
+            out.extend(np.asarray(o) for o in in_flight)
         emb = np.concatenate(out, axis=0)[:n]
         self.counters.add("images_encoded", n)
         return emb
