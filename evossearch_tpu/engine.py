@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import threading
+import time
 from collections import OrderedDict
 
 import numpy as np
@@ -235,7 +236,7 @@ class SearchEngine:
                         self.params, batch, a_h_u, a_w_u, size_idx[sl]
                     )
                 )
-                if len(in_flight) > 2:
+                if len(in_flight) >= 2:
                     out.append(np.asarray(in_flight.pop(0)))
             out.extend(np.asarray(o) for o in in_flight)
         emb = np.concatenate(out, axis=0)[:n]
@@ -405,13 +406,21 @@ class SearchEngine:
         key = _canon(folder)
         # Invalidation token is a cheap manifest stat — a full
         # IndexReader.open re-parses O(corpus) JSON and must only happen on
-        # miss/change, not per query.
-        try:
-            mtime = (
-                index_dir(folder, self.cfg.INDEX_FOLDER_NAME) / "manifest.json"
-            ).stat().st_mtime
-        except OSError:
-            mtime = None
+        # miss/change, not per query. The stat is retried once after a
+        # short sleep: finalize()'s two-rename publish has a microsecond
+        # window where manifest.json is absent, and a query landing inside
+        # it would otherwise get a spurious "not indexed".
+        manifest_path = (
+            index_dir(folder, self.cfg.INDEX_FOLDER_NAME) / "manifest.json"
+        )
+        mtime = None
+        for attempt in (0, 1):
+            try:
+                mtime = manifest_path.stat().st_mtime
+                break
+            except OSError:
+                if attempt == 0:
+                    time.sleep(0.002)  # outlive the rename window
         with self._cache_lock:
             cached = self._index_cache.get(key)
             if cached is not None and mtime is not None and cached["mtime"] == mtime:

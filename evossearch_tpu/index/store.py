@@ -312,7 +312,8 @@ class IndexReader:
         root = index_dir(folder, index_folder_name)
         _recover_interrupted_swap(root)
         try:
-            manifest = json.loads((root / "manifest.json").read_text())
+            manifest_bytes = (root / "manifest.json").read_bytes()
+            manifest = json.loads(manifest_bytes)
             if manifest["version"] > FORMAT_VERSION:
                 return None
             paths = json.loads((root / "paths.json").read_text())
@@ -347,6 +348,15 @@ class IndexReader:
             # mapping left a gap where open() succeeded but the first
             # shard access raised FileNotFoundError mid-request.
             reader.shard_arrays()
+            # Post-map revalidation: a publish could swap the whole dir
+            # between the size checks above and the mmap, mapping the NEW
+            # index's shard bytes under the OLD manifest's paths/count
+            # (silently wrong pairings when the new index is larger). The
+            # manifest carries per-shard CRCs, so byte-identity here
+            # proves the mapped files belong to this manifest; any change
+            # reads as "not indexed" and the caller reopens.
+            if (root / "manifest.json").read_bytes() != manifest_bytes:
+                return None
             return reader
         except Exception:
             return None
