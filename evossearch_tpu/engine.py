@@ -314,7 +314,11 @@ class SearchEngine:
                 [text], self.spec.context_length,
                 truncate=self.tokenizer.fallback,
             )
-            emb = self._jit_encode_text(self.params, tokens)[0]
+            batcher = self._text_batcher
+            if batcher is not None:
+                emb = batcher.submit(np.asarray(tokens[0], np.int32))
+            else:
+                emb = self._jit_encode_text(self.params, tokens)[0]
         self.counters.add("texts_encoded")
         with self._text_cache_lock:
             self._text_cache[text] = emb
@@ -495,6 +499,27 @@ class SearchEngine:
                     )
             return self._batcher_inst
 
+    @property
+    def _text_batcher(self):
+        # Same double-checked construction as _batcher: batches concurrent
+        # TEXT ENCODES into one (B, ctx) tower dispatch (see
+        # serving.TextEncodeBatcher); disabled with the micro-batcher.
+        inst = self.__dict__.get("_text_batcher_inst", _UNSET)
+        if inst is not _UNSET:
+            return inst
+        with self._cache_lock:
+            if "_text_batcher_inst" not in self.__dict__:
+                if self.cfg.MICROBATCH_MS <= 0:
+                    self._text_batcher_inst = None
+                else:
+                    from .serving import TextEncodeBatcher
+
+                    def execute(tokens):
+                        return self._jit_encode_text(self.params, tokens)
+
+                    self._text_batcher_inst = TextEncodeBatcher(execute)
+            return self._text_batcher_inst
+
     # -- lazy corpus-state materialization (double-checked per-entry lock:
     #    a burst of first queries builds each corpus-sized object once) --
 
@@ -569,6 +594,43 @@ class SearchEngine:
         if reader is None:
             raise LookupError("Folder not indexed")
         k = min(k, reader.count)
+        # Bucket the query-batch size to {1, 8, 64, 128, ...}: every
+        # kernel jit specializes on Q, and concurrent load otherwise
+        # compiles a fresh program per distinct batch size mid-burst
+        # (measured as multi-second p99 stalls). The ladder is coarse on
+        # purpose — the kernels pad queries to 128 MXU lanes internally,
+        # so a 8-row pass costs the same HBM sweep as a 2-row one and
+        # fewer buckets means fewer one-time compiles. Extra rows repeat
+        # row 0; their results are sliced away.
+        q = queries.shape[0]
+        for pad in (1, 8, 64):
+            if q <= pad:
+                break
+        else:
+            pad = 128
+            while pad < q:
+                pad <<= 1
+        if pad > q:
+            if isinstance(queries, np.ndarray):
+                queries = np.concatenate([
+                    queries,
+                    np.broadcast_to(queries[:1], (pad - q,) + queries.shape[1:]),
+                ])
+            else:  # device-resident stack: pad on device, no host fetch
+                import jax.numpy as jnp
+
+                queries = jnp.concatenate([
+                    queries,
+                    jnp.broadcast_to(queries[:1], (pad - q,) + queries.shape[1:]),
+                ])
+        s, i = self._execute_search_batch_padded(entry, reader, queries, k)
+        return s[:q], i[:q]
+
+    def _execute_search_batch_padded(self, entry, reader, queries, k: int):
+        from .index.search import (
+            best_exact_search_batch, exact_search_batch, pallas_search_batch,
+        )
+
         if self.cfg.INDEX_KIND == "ivf":
             return self._entry_ivf(entry, reader).search_batch(
                 queries, k, nprobe=self.cfg.IVF_NPROBE

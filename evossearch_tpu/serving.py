@@ -40,6 +40,90 @@ class _Pending:
     future: Future = field(default_factory=Future)
 
 
+class TextEncodeBatcher:
+    """Natural micro-batching for TEXT ENCODES, the serving twin of
+    MicroBatcher: under concurrent load each query's text-tower dispatch
+    otherwise goes out alone (a burst of 320 queries measured 320
+    serialized encode dispatches on this rig — the dominant cost while
+    searches batched 4:1). Concurrent tokenized queries accumulate while
+    a dispatch is in flight and go out as ONE (B, ctx) forward pass.
+
+    ``execute_batch(tokens (B, ctx) int32) -> (B, embed) device array``;
+    the batcher pads B to a power of two (repeating row 0) so the jit
+    compiles a handful of bucket shapes, then hands each caller its
+    device-resident row.
+    """
+
+    def __init__(self, execute_batch, max_batch: int = 64):
+        self._execute_batch = execute_batch
+        self._max_batch = max_batch
+        self._lock = threading.Lock()
+        self._queue: list[_Pending] = []
+        self._wake = threading.Event()
+        self._stop = False
+        self.dispatches = 0
+        self.batched_texts = 0
+        self._thread = threading.Thread(
+            target=self._loop, name="text-encode-batcher", daemon=True
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=2)
+
+    def submit(self, tokens: np.ndarray):
+        """Blocking encode; tokens (ctx,) int32 -> (embed,) device row."""
+        item = _Pending(folder="", query=tokens, k=0)
+        with self._lock:
+            self._queue.append(item)
+        self._wake.set()
+        return item.future.result()
+
+    def _loop(self) -> None:
+        while not self._stop:
+            self._wake.wait()
+            if self._stop:
+                return
+            self._wake.clear()
+            while True:
+                with self._lock:
+                    if not self._queue:
+                        break
+                    batch = self._queue[: self._max_batch]
+                    del self._queue[: len(batch)]
+                self._run(batch)
+
+    def _run(self, batch: list[_Pending]) -> None:
+        try:
+            tokens = np.stack([p.query for p in batch])
+            b = tokens.shape[0]
+            # coarse bucket ladder (match the search path): fewer one-time
+            # jit compiles; a padded text batch costs ~nothing extra
+            for pad in (1, 8, 64):
+                if b <= pad:
+                    break
+            else:
+                pad = 128
+                while pad < b:
+                    pad <<= 1
+            if pad > b:
+                tokens = np.concatenate(
+                    [tokens, np.broadcast_to(tokens[:1], (pad - b,) + tokens.shape[1:])]
+                )
+            emb = self._execute_batch(tokens)
+            self.dispatches += 1
+            self.batched_texts += b
+            for row, p in enumerate(batch):
+                p.future.set_result(emb[row])
+        except Exception as e:
+            log.warning("batched text encode failed: %s", e)
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(e)
+
+
 class MicroBatcher:
     """Groups concurrent same-folder searches into one device dispatch.
 

@@ -142,3 +142,34 @@ def test_engine_ivf_through_batcher(tmp_path, monkeypatch):
     s1, i1, _ = results["query"]
     np.testing.assert_array_equal(i1, i0)
     np.testing.assert_allclose(s1, s0, atol=1e-5)
+
+
+def test_text_encode_batcher_equivalence(tmp_path, monkeypatch):
+    """Concurrent text encodes through the TextEncodeBatcher must equal
+    the direct single-text path bit-for-bit, and must group dispatches."""
+    import threading
+
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", "0")  # direct
+    direct = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    texts = [f"query number {i}" for i in range(12)]
+    want = {t: direct.encode_text(t) for t in texts}
+
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", "2.0")
+    batched = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    got = {}
+    lock = threading.Lock()
+
+    def hit(t):
+        e = batched.encode_text(t)
+        with lock:
+            got[t] = e
+
+    ts = [threading.Thread(target=hit, args=(t,)) for t in texts]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    for t in texts:
+        np.testing.assert_allclose(got[t], want[t], atol=1e-6)
+    tb = batched._text_batcher
+    assert tb is not None and tb.dispatches >= 1
+    assert tb.batched_texts == len(texts)
