@@ -84,6 +84,15 @@ class SearchEngine:
         self.timers = StageTimer()
         self.counters = Counters()
 
+    def close(self) -> None:
+        """Stop the batcher worker threads. Engines are usually
+        process-lifetime singletons; close() exists for benches/tests
+        that create several engines so worker threads don't accumulate."""
+        for attr in ("_batcher_inst", "_text_batcher_inst"):
+            inst = self.__dict__.get(attr)
+            if inst is not None:
+                inst.close()
+
     # -- model/params --
 
     @property
