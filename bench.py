@@ -261,8 +261,9 @@ def bench_index() -> None:
         # the host-core budget.
         log("bench_index: device encode ceiling = bench_encode line above; "
             "e2e here is host-decode/relay-upload bound by the rig")
-        eng.close()
     finally:
+        if "eng" in locals():
+            eng.close()  # even on phase timeout: no batcher-thread leak
         shutil.rmtree(tmp, ignore_errors=True)
 
 

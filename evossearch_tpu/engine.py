@@ -595,10 +595,6 @@ class SearchEngine:
         """One batched device dispatch over a folder's cached corpus
         (single-device matrix, Pallas one-pass kernel, or sharded mesh,
         per the resolved kernel)."""
-        from .index.search import (
-            best_exact_search_batch, exact_search_batch, pallas_search_batch,
-        )
-
         entry, reader = self._cached_index(folder)
         if reader is None:
             raise LookupError("Folder not indexed")

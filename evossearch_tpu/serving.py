@@ -72,9 +72,19 @@ class TextEncodeBatcher:
         self._stop = True
         self._wake.set()
         self._thread.join(timeout=2)
+        self._fail_pending("text-encode batcher closed")
+
+    def _fail_pending(self, reason: str) -> None:
+        with self._lock:
+            pending, self._queue = self._queue, []
+        for p in pending:
+            if not p.future.done():
+                p.future.set_exception(RuntimeError(reason))
 
     def submit(self, tokens: np.ndarray):
         """Blocking encode; tokens (ctx,) int32 -> (embed,) device row."""
+        if self._stop:  # fail fast, never hang on a dead worker
+            raise RuntimeError("text-encode batcher closed")
         item = _Pending(folder="", query=tokens, k=0)
         with self._lock:
             self._queue.append(item)
@@ -85,7 +95,7 @@ class TextEncodeBatcher:
         while not self._stop:
             self._wake.wait()
             if self._stop:
-                return
+                break
             self._wake.clear()
             while True:
                 with self._lock:
@@ -94,24 +104,26 @@ class TextEncodeBatcher:
                     batch = self._queue[: self._max_batch]
                     del self._queue[: len(batch)]
                 self._run(batch)
+        # items that raced a close(): fail them, don't strand the callers
+        self._fail_pending("text-encode batcher closed")
 
     def _run(self, batch: list[_Pending]) -> None:
         try:
             tokens = np.stack([p.query for p in batch])
             b = tokens.shape[0]
-            # coarse bucket ladder (match the search path): fewer one-time
-            # jit compiles; a padded text batch costs ~nothing extra
-            for pad in (1, 8, 64):
-                if b <= pad:
-                    break
-            else:
-                pad = 128
-                while pad < b:
-                    pad <<= 1
-            if pad > b:
-                tokens = np.concatenate(
-                    [tokens, np.broadcast_to(tokens[:1], (pad - b,) + tokens.shape[1:])]
-                )
+            # Pad every batch to ONE fixed shape (max_batch, ctx): a
+            # single jit compile, and — because text embeddings are
+            # CACHED — the result for a given text never depends on which
+            # batch size the surrounding load produced (per-shape XLA
+            # tilings may round differently). A padded text tower pass
+            # costs well under a millisecond of extra device time.
+            if b < self._max_batch:
+                tokens = np.concatenate([
+                    tokens,
+                    np.broadcast_to(
+                        tokens[:1], (self._max_batch - b,) + tokens.shape[1:]
+                    ),
+                ])
             emb = self._execute_batch(tokens)
             self.dispatches += 1
             self.batched_texts += b
@@ -154,12 +166,22 @@ class MicroBatcher:
         self._stop = True
         self._wake.set()
         self._thread.join(timeout=2)
+        self._fail_pending("micro-batcher closed")
+
+    def _fail_pending(self, reason: str) -> None:
+        with self._lock:
+            pending, self._queue = self._queue, []
+        for p in pending:
+            if not p.future.done():
+                p.future.set_exception(RuntimeError(reason))
 
     def submit(self, folder: str, query, k: int):
         """Blocking search; returns (scores (k',), indices (k',)).
 
         ``query`` may be a numpy array or a device array — device arrays
         are passed through without a host fetch."""
+        if self._stop:  # fail fast, never hang on a dead worker
+            raise RuntimeError("micro-batcher closed")
         item = _Pending(folder=folder, query=query, k=k)
         with self._lock:
             self._queue.append(item)
@@ -172,7 +194,7 @@ class MicroBatcher:
         while not self._stop:
             self._wake.wait()
             if self._stop:
-                return
+                break
             self._wake.clear()
             while True:
                 with self._lock:
@@ -185,6 +207,8 @@ class MicroBatcher:
                     for p in batch:
                         self._queue.remove(p)
                 self._run(folder, batch)
+        # items that raced a close(): fail them, don't strand the callers
+        self._fail_pending("micro-batcher closed")
 
     def _run(self, folder: str, batch: list[_Pending]) -> None:
         try:

@@ -145,8 +145,11 @@ def test_engine_ivf_through_batcher(tmp_path, monkeypatch):
 
 
 def test_text_encode_batcher_equivalence(tmp_path, monkeypatch):
-    """Concurrent text encodes through the TextEncodeBatcher must equal
-    the direct single-text path bit-for-bit, and must group dispatches."""
+    """Concurrent text encodes through the TextEncodeBatcher must be
+    numerically equivalent to the direct single-text path (the batched
+    pass runs one fixed (max_batch, ctx) shape, whose XLA tiling may
+    round differently from the (1, ctx) program) and must group
+    dispatches."""
     import threading
 
     monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
@@ -173,3 +176,9 @@ def test_text_encode_batcher_equivalence(tmp_path, monkeypatch):
     tb = batched._text_batcher
     assert tb is not None and tb.dispatches >= 1
     assert tb.batched_texts == len(texts)
+    batched.close()
+    direct.close()
+    # post-close submits fail fast instead of hanging
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        tb.submit(np.zeros(TINY.context_length, np.int32))
