@@ -9,8 +9,19 @@ from evossearch_tpu.index import exact_search
 from evossearch_tpu.index.search import exact_search_host
 
 
+def _scores64(emb, q):
+    """f64 oracle scores via per-row np.dot: a single BLAS matmul gives
+    BIT-IDENTICAL duplicate rows f64 results differing by 1 ULP when one
+    row lands in the kernel's tail block (observed at n=375: rows 314 and
+    372 equal, dots differ by 3.6e-15), which silently flips the oracle's
+    tie order. Per-row dot sees identical inputs -> identical outputs."""
+    q64 = q.astype(np.float64)
+    emb64 = emb.astype(np.float64)
+    return np.array([np.dot(row, q64) for row in emb64])
+
+
 def _oracle(emb, q, k):
-    scores = emb.astype(np.float64) @ q.astype(np.float64)
+    scores = _scores64(emb, q)
     order = np.lexsort((np.arange(len(scores)), -scores))
     return order[:k]
 
@@ -46,17 +57,21 @@ def _check(emb, q, k, idx, scores):
         ties is pinned separately by the adversarial-tie tests in
         test_search.py / test_topk_pallas.py / test_sharded_search.py.)
     """
-    s64 = emb.astype(np.float64) @ q.astype(np.float64)
-    oracle = _oracle(emb, q, k)
+    s64 = _scores64(emb, q)
+    full_order = np.lexsort((np.arange(len(s64)), -s64))
+    oracle = full_order[:k]
     idx = np.asarray(idx)
     assert (np.diff(scores) <= 1e-6).all()
     np.testing.assert_allclose(s64[idx], s64[oracle], atol=1e-4)
     tol = 1e-4 * max(1.0, np.abs(s64).max())
     for rank in range(k):
         prev_gap = s64[oracle[rank - 1]] - s64[oracle[rank]] if rank else np.inf
+        # boundary rank: the gap below is to the FULL ranking's next
+        # element (rank k of full_order), not inf — a tie straddling the
+        # top-k boundary makes the k-th index legitimately ambiguous
         next_gap = (
-            s64[oracle[rank]] - s64[oracle[rank + 1]] if rank + 1 < len(s64)
-            and rank + 1 < len(oracle) else np.inf
+            s64[full_order[rank]] - s64[full_order[rank + 1]]
+            if rank + 1 < len(full_order) else np.inf
         )
         if prev_gap > tol and next_gap > tol:
             assert idx[rank] == oracle[rank], (rank, idx, oracle)
