@@ -602,19 +602,14 @@ class SearchEngine:
         # Bucket the query-batch size to {1, 8, 64, 128, ...}: every
         # kernel jit specializes on Q, and concurrent load otherwise
         # compiles a fresh program per distinct batch size mid-burst
-        # (measured as multi-second p99 stalls). The ladder is coarse on
-        # purpose — the kernels pad queries to 128 MXU lanes internally,
-        # so a 8-row pass costs the same HBM sweep as a 2-row one and
-        # fewer buckets means fewer one-time compiles. Extra rows repeat
-        # row 0; their results are sliced away.
+        # (measured as multi-second p99 stalls). Extra rows repeat row 0;
+        # their results are sliced away. Ladder rationale lives with
+        # index.search.query_row_bucket (shared with the uncertified-row
+        # fallbacks).
+        from .index.search import query_row_bucket
+
         q = queries.shape[0]
-        for pad in (1, 8, 64):
-            if q <= pad:
-                break
-        else:
-            pad = 128
-            while pad < q:
-                pad <<= 1
+        pad = query_row_bucket(q)
         if pad > q:
             if isinstance(queries, np.ndarray):
                 queries = np.concatenate([

@@ -149,18 +149,52 @@ def _fast_topk_batch_packed(emb: jax.Array, queries: jax.Array, k: int):
     )
 
 
+def query_row_bucket(q: int) -> int:
+    """Query-row bucket ladder shared by the serving path and every
+    uncertified-row fallback: {1, 8, 64} then powers of two. Each kernel
+    jit specializes on the query count, so unbucketed calls compile a
+    fresh program per distinct row count — an adversarial tie-heavy corpus
+    (fallback) or a concurrent burst (serving) becomes a compile storm.
+    The ladder is coarse on purpose: kernels pad queries to 128 MXU lanes
+    internally, so an 8-row pass costs the same HBM sweep as a 2-row one,
+    and fewer buckets means fewer one-time compiles."""
+    for pad in (1, 8, 64):
+        if q <= pad:
+            return pad
+    pad = 128
+    while pad < q:
+        pad <<= 1
+    return pad
+
+
+def gather_query_rows(queries_d, rows: np.ndarray):
+    """Bucket-padded device gather of query rows: the (b,) index vector is
+    padded with row `rows[0]` up to the ladder bucket, so the gather and
+    every downstream kernel specialize on the BUCKET, not on the exact
+    failed-row count. Returns (sub_queries (b, d), n_real)."""
+    n = len(rows)
+    b = query_row_bucket(n)
+    idx = np.empty(b, np.int32)
+    idx[:n] = rows
+    idx[n:] = rows[0]
+    return jnp.take(jnp.asarray(queries_d), jnp.asarray(idx), axis=0), n
+
+
 def _unpack_with_fallback(packed: np.ndarray, emb, queries_d, k: int):
     """Unpack a (Q, 2k+1) [scores | float(indices) | ok] result and re-run
     the exact XLA path for any uncertified rows. Shared by every packed
     fast path so the index-encoding and fallback contracts live in ONE
-    place."""
+    place. Fallback queries ride the bucket ladder (query_row_bucket) so
+    distinct failure counts reuse a handful of compiled programs."""
     s = packed[:, :k].copy()
     i = packed[:, k : 2 * k].astype(np.int64)
     ok = packed[:, -1] > 0
     if not ok.all():
-        slow_s, slow_i = _topk_batch(emb, queries_d[np.flatnonzero(~ok)], k)
-        s[~ok] = np.asarray(slow_s)
-        i[~ok] = np.asarray(slow_i)
+        fail = np.flatnonzero(~ok)
+        sub, n = gather_query_rows(queries_d, fail)
+        slow_s, slow_i = _topk_batch(emb, sub, k)
+        s[fail] = np.asarray(slow_s)[:n]
+        i[fail] = np.asarray(slow_i)[:n]
     return s, i
 
 

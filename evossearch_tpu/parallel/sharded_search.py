@@ -253,12 +253,18 @@ class ShardedIndex:
                 s, i = s.copy(), i.astype(np.int64)
                 ok = ok.astype(bool)
             if not ok.all():
+                # Bucket-padded fallback (index.search.gather_query_rows):
+                # a fresh jit per distinct failed-row count would be a
+                # compile storm under an adversarial tie-heavy corpus.
+                from ..index.search import gather_query_rows
+
+                fail = np.flatnonzero(~ok)
+                sub, n_real = gather_query_rows(queries_d, fail)
                 slow_s, slow_i = _sharded_topk_jit(
-                    self.emb, self.counts,
-                    queries_d[np.flatnonzero(~ok)], k, self.mesh,
+                    self.emb, self.counts, sub, k, self.mesh,
                 )
-                s[~ok] = np.asarray(slow_s)
-                i[~ok] = np.asarray(slow_i)
+                s[fail] = np.asarray(slow_s)[:n_real]
+                i[fail] = np.asarray(slow_i)[:n_real]
             return s, i
         scores, idx = _sharded_topk_jit(
             self.emb, self.counts, queries_d, k, self.mesh
