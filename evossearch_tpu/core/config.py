@@ -141,6 +141,13 @@ class Config:
         # Native DCT-scaled JPEG decode for indexing (up to ~8x cheaper
         # decode of large photos); disable for bit-parity with PIL decode.
         self.FAST_DECODE = _env_bool("EVOSSEARCH_FAST_DECODE", "True")
+        # Device-bytes budget for cached corpora, in MB. 0 = auto: 80% of
+        # the device's reported memory_stats()["bytes_limit"] when the
+        # backend publishes one (TPU does), unlimited otherwise (CPU test
+        # meshes). Corpora that fit evict colder folders' device arrays
+        # LRU-first; corpora that can never fit route to the host scanner
+        # instead of crashing mid-request with an HBM OOM. -1 = unlimited.
+        self.HBM_BUDGET_MB = _env_int("EVOSSEARCH_HBM_BUDGET_MB", "0")
         # Exact-search kernel: auto | xla | pallas | host | sharded.
         #   auto    = sharded when >1 device visible; else per-corpus best
         #             (pallas one-pass kernel for accelerator corpora of

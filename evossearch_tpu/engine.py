@@ -529,6 +529,104 @@ class SearchEngine:
                     self._text_batcher_inst = TextEncodeBatcher(execute)
             return self._text_batcher_inst
 
+    # -- HBM budget: device-byte accounting for cached corpora --
+    #
+    # Each cache entry can pin a corpus-sized device array (10M bf16 rows
+    # = ~10 GB); two concurrently-queried huge folders would exceed a
+    # v5e's 16 GB HBM and crash mid-request. Policy (scaling the
+    # reference's single in-RAM FAISS index, oldapp.py:87): corpora that
+    # FIT the budget evict colder folders' device state LRU-first before
+    # materializing; corpora that can NEVER fit route to the host mmap
+    # scanner instead of jnp.asarray.
+
+    @functools.cached_property
+    def _hbm_budget(self):
+        """Device-bytes budget, or None = unlimited. See Config.HBM_BUDGET_MB."""
+        mb = self.cfg.HBM_BUDGET_MB
+        if mb < 0:
+            return None
+        if mb > 0:
+            return mb << 20
+        import jax
+
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit", 0)
+        except Exception:
+            limit = 0
+        return int(limit * 0.8) if limit else None
+
+    def _corpus_device_bytes(self, reader) -> int:
+        itemsize = 2 if reader.dtype_name == "bfloat16" else 4
+        return reader.count * reader.dim * itemsize
+
+    def _fits_device(self, entry, reader) -> bool:
+        """Whether this corpus may ever be materialized on device under
+        the configured kernel. Cached per entry (kernel choice is stable
+        for the engine's lifetime); the over-budget verdict is logged
+        once. The budget is PER CHIP, so the sharded kernel divides the
+        corpus bytes by the mesh size, and IVF counts f32 bytes (its
+        bucket tensor is stored float32 regardless of the store dtype)."""
+        fits = entry.get("fits_device")
+        if fits is None:
+            budget = self._hbm_budget
+            if self.cfg.INDEX_KIND == "ivf":
+                need = reader.count * reader.dim * 4
+            else:
+                need = self._corpus_device_bytes(reader)
+                if self._resolve_kernel() == "sharded":
+                    import jax
+
+                    need //= max(
+                        self.cfg.MESH_DEVICES or len(jax.devices()), 1
+                    )
+            fits = budget is None or need <= budget
+            if not fits:
+                log.warning(
+                    "corpus of %d rows (%.2f GB %s) exceeds the HBM budget "
+                    "(%.2f GB) — routing queries to the host mmap scanner; "
+                    "raise EVOSSEARCH_HBM_BUDGET_MB or use a larger mesh "
+                    "to search this folder on device",
+                    reader.count, need / 2**30, reader.dtype_name,
+                    budget / 2**30,
+                )
+            entry["fits_device"] = fits
+        return fits
+
+    def _reserve_device_bytes(self, entry, need: int) -> None:
+        """Bookkeeping before materializing `need` device bytes for
+        `entry`: evicts OTHER entries' device arrays LRU-first until the
+        cached total fits the budget. Entries mid-materialization (their
+        lock is held) are skipped — they are the hottest entries anyway.
+        Caller holds entry['lock']."""
+        budget = self._hbm_budget
+        with self._cache_lock:
+            entry["device_bytes"] = entry.get("device_bytes", 0) + need
+            if budget is None:
+                return
+            total = sum(
+                e.get("device_bytes", 0) for e in self._index_cache.values()
+            )
+            # entries not in the LRU anymore (evicted while queried) still
+            # count nothing here; their arrays die with the caller's ref
+            if total <= budget:
+                return
+            for other in list(self._index_cache.values()):  # LRU-first
+                if other is entry or not other.get("device_bytes"):
+                    continue
+                if not other["lock"].acquire(blocking=False):
+                    continue
+                try:
+                    for field in ("emb", "sharded", "ivf"):
+                        other.pop(field, None)
+                    total -= other["device_bytes"]
+                    other["device_bytes"] = 0
+                    self.counters.add("hbm_evictions")
+                finally:
+                    other["lock"].release()
+                if total <= budget:
+                    return
+
     # -- lazy corpus-state materialization (double-checked per-entry lock:
     #    a burst of first queries builds each corpus-sized object once) --
 
@@ -538,6 +636,9 @@ class SearchEngine:
         if "emb" not in entry:
             with entry["lock"]:
                 if "emb" not in entry:
+                    self._reserve_device_bytes(
+                        entry, self._corpus_device_bytes(reader)
+                    )
                     entry["emb"] = jnp.asarray(np.asarray(reader.embeddings()))
         return entry["emb"]
 
@@ -547,10 +648,17 @@ class SearchEngine:
                 if "sharded" not in entry:
                     from .parallel import ShardedIndex
 
-                    entry["sharded"] = ShardedIndex.from_matrix(
+                    sharded = ShardedIndex.from_matrix(
                         np.asarray(reader.embeddings()),
                         n_devices=self.cfg.MESH_DEVICES,
                     )
+                    # budget is per chip; each device holds 1/n of the rows
+                    self._reserve_device_bytes(
+                        entry,
+                        self._corpus_device_bytes(reader)
+                        // max(sharded.mesh.devices.size, 1),
+                    )
+                    entry["sharded"] = sharded
         return entry["sharded"]
 
     def _entry_ivf(self, entry, reader):
@@ -579,6 +687,9 @@ class SearchEngine:
                             ivf.n != reader.count or ivf.nlist != want
                         ):
                             ivf = None
+                    self._reserve_device_bytes(
+                        entry, reader.count * reader.dim * 4  # IVF is f32
+                    )
                     if ivf is None:
                         ivf = IVFIndex.build(
                             np.asarray(reader.embeddings(), np.float32),
@@ -599,6 +710,17 @@ class SearchEngine:
         if reader is None:
             raise LookupError("Folder not indexed")
         k = min(k, reader.count)
+        if not self._fits_device(entry, reader):
+            # Over-HBM-budget corpus: exact scan in place over the mmap
+            # shards (threaded C++); exact results, no device residency.
+            # BEFORE the bucket padding — host scans cost O(N*d) per row,
+            # so pad rows would be real full-corpus scans, not free lanes.
+            from .index.search import exact_search_host_reader_batch
+
+            self.counters.add("host_routed_queries", queries.shape[0])
+            return exact_search_host_reader_batch(
+                reader, np.asarray(queries), k
+            )
         # Bucket the query-batch size to {1, 8, 64, 128, ...}: every
         # kernel jit specializes on Q, and concurrent load otherwise
         # compiles a fresh program per distinct batch size mid-burst
@@ -657,7 +779,21 @@ class SearchEngine:
             return np.zeros((0,), np.float32), np.zeros((0,), np.int64), reader
         query = query.astype(np.float32)
         with self.timers.stage("search"):
-            if self.cfg.INDEX_KIND == "ivf":
+            if not self._fits_device(entry, reader):
+                # Over-HBM-budget corpus -> host mmap scan (batcher
+                # submissions reach the same route inside
+                # _execute_search_batch_padded; going through it keeps
+                # concurrent queries amortizing one scan pass).
+                if self._batcher is not None:
+                    scores, idx = self._batcher.submit(_canon(folder), query, k)
+                else:
+                    from .index.search import exact_search_host_reader
+
+                    self.counters.add("host_routed_queries")
+                    scores, idx = exact_search_host_reader(
+                        reader, np.asarray(query), k
+                    )
+            elif self.cfg.INDEX_KIND == "ivf":
                 if self._batcher is not None:
                     # Concurrent IVF queries share one batched dispatch
                     # (IVFIndex.search_batch); rows come back padded with

@@ -311,6 +311,19 @@ def exact_search_host_reader(reader, query: np.ndarray, k: int):
     return cand_s[order], cand_i[order]
 
 
+def exact_search_host_reader_batch(reader, queries: np.ndarray, k: int):
+    """Batched host exact top-k over a reader's mmap shards. The engine's
+    over-HBM-budget route: corpora too large for the device budget are
+    scanned in place by the threaded C++ scanner, one query at a time
+    (the native scan is single-query; the mmap pages stay warm across the
+    batch so later rows run at memory speed)."""
+    queries = np.asarray(queries, np.float32)
+    outs = [exact_search_host_reader(reader, q, k) for q in queries]
+    if not outs:
+        return np.zeros((0, k), np.float32), np.zeros((0, k), np.int64)
+    return np.stack([o[0] for o in outs]), np.stack([o[1] for o in outs])
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "tree"))
 def _pallas_topk_packed(emb: jax.Array, queries: jax.Array, k: int,
                         interpret: bool = False, tree: bool = False):

@@ -1,0 +1,123 @@
+"""HBM-budget-aware corpus routing and cache eviction (VERDICT r2 weak #1).
+
+Two synthetic folders whose corpora exceed a shrunken device budget must
+both answer exactly (via the host mmap scanner) without ever materializing
+a device matrix; two folders that fit individually but not together must
+evict each other LRU-first instead of accumulating.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from evossearch_tpu.core import Config
+from evossearch_tpu.core.constants import CLIPModelSpec
+from evossearch_tpu.engine import SearchEngine, _canon
+from evossearch_tpu.index.store import IndexWriter
+
+TINY = CLIPModelSpec(
+    name="tiny", image_size=64, patch_size=16, vision_width=64,
+    vision_layers=2, vision_heads=4, text_width=48, text_layers=2,
+    text_heads=4, vocab_size=49408, context_length=77, embed_dim=256,
+)
+
+D = 256
+
+
+def _make_index(folder, n, seed):
+    folder = Path(folder)
+    folder.mkdir(exist_ok=True)
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    w = IndexWriter.create(folder, model="tiny", dim=D, dtype_name="float32")
+    paths = [str(folder / f"img_{i:05d}.jpg") for i in range(n)]
+    meta = [{"path": p, "mtime": 1.0, "size": 10} for p in paths]
+    w.append(emb, paths, meta)
+    w.finalize()
+    return emb
+
+
+def _oracle(emb, q, k):
+    scores = emb @ q
+    order = np.lexsort((np.arange(len(scores)), -scores))[:k]
+    return scores[order], order
+
+
+def _engine(monkeypatch, tmp_path, budget_mb, microbatch="0"):
+    for k in ("EVOSSEARCH_CHECKPOINT", "EVOSSEARCH_BPE_VOCAB"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("EVOSSEARCH_HBM_BUDGET_MB", str(budget_mb))
+    monkeypatch.setenv("EVOSSEARCH_SEARCH_KERNEL", "xla")
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", microbatch)
+    return SearchEngine(cfg=Config(env_path=tmp_path / "missing.env"), spec=TINY)
+
+
+def test_over_budget_corpora_route_to_host_scanner(monkeypatch, tmp_path):
+    # two 2 MB f32 corpora vs a 1 MB budget: neither may ever device-put
+    eng = _engine(monkeypatch, tmp_path, budget_mb=1)
+    assert eng._hbm_budget == 1 << 20
+    embs = {}
+    for name, seed in (("a", 0), ("b", 1)):
+        folder = tmp_path / name
+        embs[name] = _make_index(folder, 2000, seed)
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal(D).astype(np.float32)
+    for name in ("a", "b"):
+        folder = str(tmp_path / name)
+        s, i, reader = eng.search_embedding(folder, q, 10)
+        es, ei = _oracle(embs[name], q, 10)
+        np.testing.assert_array_equal(i, ei)
+        np.testing.assert_allclose(s, es, rtol=1e-5)
+        entry = eng._index_cache[_canon(folder)]
+        assert "emb" not in entry and "sharded" not in entry
+        assert entry["fits_device"] is False
+    assert eng.counters.snapshot()["host_routed_queries"] == 2
+
+
+def test_over_budget_batcher_path_routes_to_host(monkeypatch, tmp_path):
+    eng = _engine(monkeypatch, tmp_path, budget_mb=1, microbatch="2")
+    try:
+        emb = _make_index(tmp_path / "a", 2000, 3)
+        q = np.random.default_rng(9).standard_normal(D).astype(np.float32)
+        s, i, _ = eng.search_embedding(str(tmp_path / "a"), q, 5)
+        es, ei = _oracle(emb, q, 5)
+        np.testing.assert_array_equal(i, ei)
+        assert "emb" not in eng._index_cache[_canon(str(tmp_path / "a"))]
+    finally:
+        eng.close()
+
+
+def test_fitting_corpora_evict_lru_device_state(monkeypatch, tmp_path):
+    # each corpus ~0.7 MB; budget 1 MB: both fit alone, not together
+    eng = _engine(monkeypatch, tmp_path, budget_mb=1)
+    embs = {}
+    for name, seed in (("a", 4), ("b", 5)):
+        embs[name] = _make_index(tmp_path / name, 700, seed)
+    q = np.random.default_rng(11).standard_normal(D).astype(np.float32)
+
+    s, i, _ = eng.search_embedding(str(tmp_path / "a"), q, 5)
+    np.testing.assert_array_equal(i, _oracle(embs["a"], q, 5)[1])
+    entry_a = eng._index_cache[_canon(str(tmp_path / "a"))]
+    assert "emb" in entry_a and entry_a["device_bytes"] == 700 * D * 4
+
+    s, i, _ = eng.search_embedding(str(tmp_path / "b"), q, 5)
+    np.testing.assert_array_equal(i, _oracle(embs["b"], q, 5)[1])
+    entry_b = eng._index_cache[_canon(str(tmp_path / "b"))]
+    assert "emb" in entry_b
+    # a's device matrix was evicted; its reader/metadata stay cached
+    assert "emb" not in entry_a and entry_a["device_bytes"] == 0
+    assert eng.counters.snapshot()["hbm_evictions"] == 1
+
+    # querying a again re-materializes (evicting b) and still answers exactly
+    s, i, _ = eng.search_embedding(str(tmp_path / "a"), q, 5)
+    np.testing.assert_array_equal(i, _oracle(embs["a"], q, 5)[1])
+    assert "emb" in entry_a and "emb" not in entry_b
+
+
+def test_auto_budget_is_none_or_int(monkeypatch, tmp_path):
+    eng = _engine(monkeypatch, tmp_path, budget_mb=0)
+    assert eng._hbm_budget is None or isinstance(eng._hbm_budget, int)
+    eng2 = _engine(monkeypatch, tmp_path, budget_mb=-1)
+    assert eng2._hbm_budget is None
