@@ -195,10 +195,15 @@ def _run_phase(fn, budget_s: int = 300):
     def _timeout(signum, frame):
         raise _PhaseTimeout(f"{fn.__name__}: no progress for {budget_s}s")
 
+    from evossearch_tpu.utils.profiling import capture_trace
+
     prev = signal.signal(signal.SIGALRM, _timeout)
     signal.alarm(budget_s)
     try:
-        return fn()
+        # xprof capture per phase when EVOSSEARCH_PROFILE_DIR is set
+        # (each capture lands as its own timestamped run); no-op otherwise.
+        with capture_trace():
+            return fn()
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, prev)

@@ -33,6 +33,7 @@ from ..index import (
     load_comments,
 )
 from ..utils import get_logger
+from ..utils.profiling import capture_trace
 from .thumbs import thumbnail_b64
 from .web import App, HTTPError, Request, html_response, jsonify, send_file
 
@@ -259,7 +260,8 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
         if not folder or not os.path.exists(folder):
             return jsonify({"error": "Invalid folder path"}, 400)
         try:
-            count = engine.index_folder(folder)
+            with capture_trace():  # xprof capture when PROFILE_DIR is set
+                count = engine.index_folder(folder)
             if count == 0:
                 return jsonify({"error": "No images found in folder"}, 400)
             return jsonify({"success": True, "count": count})
@@ -282,7 +284,8 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
         if not engine.is_indexed_fast(folder):
             return jsonify({"error": "Folder not indexed"}, 400)
         try:
-            result = engine.search_text(folder, query, limit)
+            with capture_trace():  # xprof capture when PROFILE_DIR is set
+                result = engine.search_text(folder, query, limit)
             if result is None:
                 return jsonify({"error": "Folder not indexed"}, 400)
             if len(result[0]) == 0:
@@ -313,31 +316,32 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
         try:
             from PIL import Image
 
-            if file is not None:
-                uploaded = Image.open(file.stream)
-                if uploaded.mode != "RGB":
-                    uploaded = uploaded.convert("RGB")
-                query_emb = engine.encode_images([uploaded])[0]
-            else:
-                if not os.path.exists(image_path):
-                    return jsonify(
-                        {"error": f"Image file not found: {image_path}"}, 400
-                    )
-                # Find-similar short-circuit: if the path is an indexed,
-                # unchanged file, its stored row equals what re-encoding
-                # would produce — skip the decode+encode dispatch.
-                query_emb = engine.stored_embedding(folder, image_path)
-                if query_emb is None:
-                    try:
-                        img = Image.open(image_path)
-                        query_emb = engine.encode_images([img])[0]
-                    except Exception as path_error:
+            with capture_trace():  # xprof capture when PROFILE_DIR is set
+                if file is not None:
+                    uploaded = Image.open(file.stream)
+                    if uploaded.mode != "RGB":
+                        uploaded = uploaded.convert("RGB")
+                    query_emb = engine.encode_images([uploaded])[0]
+                else:
+                    if not os.path.exists(image_path):
                         return jsonify(
-                            {"error": "Error processing image from path: "
-                                      f"{path_error}"},
-                            400,
+                            {"error": f"Image file not found: {image_path}"}, 400
                         )
-            result = engine.search_embedding(folder, query_emb, limit)
+                    # Find-similar short-circuit: if the path is an indexed,
+                    # unchanged file, its stored row equals what re-encoding
+                    # would produce — skip the decode+encode dispatch.
+                    query_emb = engine.stored_embedding(folder, image_path)
+                    if query_emb is None:
+                        try:
+                            img = Image.open(image_path)
+                            query_emb = engine.encode_images([img])[0]
+                        except Exception as path_error:
+                            return jsonify(
+                                {"error": "Error processing image from path: "
+                                          f"{path_error}"},
+                                400,
+                            )
+                result = engine.search_embedding(folder, query_emb, limit)
             if result is None:
                 return jsonify({"error": "Folder not indexed"}, 400)
             if len(result[0]) == 0:

@@ -55,9 +55,19 @@ class StageTimer:
 
     @contextmanager
     def stage(self, name: str):
+        # While EVOSSEARCH_PROFILE_DIR is set, every timed stage doubles
+        # as an xprof TraceAnnotation so decode/prepare/encode/search
+        # regions line up on the captured timeline; zero overhead when
+        # profiling is off (one env lookup).
+        from . import profiling
+
         t0 = time.perf_counter()
         try:
-            yield
+            if profiling.enabled():
+                with profiling.annotate(name):
+                    yield
+            else:
+                yield
         finally:
             dt = time.perf_counter() - t0
             with self._lock:
