@@ -565,13 +565,13 @@ class SearchEngine:
         the configured kernel. Cached per entry (kernel choice is stable
         for the engine's lifetime); the over-budget verdict is logged
         once. The budget is PER CHIP, so the sharded kernel divides the
-        corpus bytes by the mesh size, and IVF counts f32 bytes (its
-        bucket tensor is stored float32 regardless of the store dtype)."""
+        corpus bytes by the mesh size, and IVF counts ~(1 + bucket_factor)
+        x corpus at the store dtype (dense buckets + spill)."""
         fits = entry.get("fits_device")
         if fits is None:
             budget = self._hbm_budget
             if self.cfg.INDEX_KIND == "ivf":
-                need = reader.count * reader.dim * 4
+                need = 3 * self._corpus_device_bytes(reader)
             else:
                 need = self._corpus_device_bytes(reader)
                 if self._resolve_kernel() == "sharded":
@@ -687,13 +687,35 @@ class SearchEngine:
                             ivf.n != reader.count or ivf.nlist != want
                         ):
                             ivf = None
+                    # IVF device bytes ~= (1 + bucket_factor) x corpus at
+                    # the store dtype (dense buckets + spill; centroids
+                    # are small)
                     self._reserve_device_bytes(
-                        entry, reader.count * reader.dim * 4  # IVF is f32
+                        entry, 3 * self._corpus_device_bytes(reader)
                     )
+                    import jax
+
+                    if jax.default_backend() != "cpu":
+                        # Measured on v5e: the exact kernels beat IVF at
+                        # every corpus size that fits HBM (ARCHITECTURE
+                        # "IVF positioning"); say so instead of silently
+                        # serving 3-5x slower queries.
+                        log.warning(
+                            "INDEX_KIND=ivf on an accelerator: exact "
+                            "search is measured FASTER for on-device "
+                            "corpora at every size that fits HBM — "
+                            "consider EVOSSEARCH_INDEX_KIND=exact "
+                            "(IVF remains the right choice for host-only "
+                            "or beyond-HBM deployments)",
+                        )
                     if ivf is None:
+                        # Store embeddings are L2-normalized at encode
+                        # time; buckets keep the store dtype (bf16 halves
+                        # the IVF HBM footprint).
                         ivf = IVFIndex.build(
-                            np.asarray(reader.embeddings(), np.float32),
+                            np.asarray(reader.embeddings()),
                             nlist=self.cfg.IVF_NLIST,
+                            pre_normalized=True,
                         )
                         try:
                             ivf.save(ivf_path)

@@ -103,6 +103,29 @@ def _assign(emb: jax.Array, cent: jax.Array) -> jax.Array:
     return a.reshape(-1)[:n]
 
 
+@jax.jit
+def _normalize_keep_dtype(emb: jax.Array) -> jax.Array:
+    """Chunked L2 normalize with f32 math, result in the input dtype.
+
+    A whole-array f32 upcast of a bf16 corpus would double its HBM
+    footprint (20 GB transient at 10M x 512); scanning chunks keeps the
+    peak at corpus + output + one chunk."""
+    n, d = emb.shape
+    chunks = -(-n // KMEANS_CHUNK)
+    pad = chunks * KMEANS_CHUNK - n
+    emb_c = jnp.concatenate(
+        [emb, jnp.zeros((pad, d), emb.dtype)]
+    ).reshape(chunks, KMEANS_CHUNK, d)
+
+    def body(_, x):
+        xf = x.astype(jnp.float32)
+        nrm = jnp.sqrt(jnp.sum(xf * xf, axis=1, keepdims=True))
+        return None, (xf / jnp.maximum(nrm, 1e-12)).astype(x.dtype)
+
+    _, out = jax.lax.scan(body, None, emb_c)
+    return out.reshape(-1, d)[:n]
+
+
 @dataclass
 class IVFIndex:
     centroids: jax.Array  # (nlist, d)
@@ -119,6 +142,7 @@ class IVFIndex:
         cls, emb, nlist: int = 0, iters: int = 10,
         bucket_factor: float = 2.0, seed: int = 0,
         tune_target: float | None = 0.995,
+        pre_normalized: bool = False,
     ) -> "IVFIndex":
         """Train centroids and lay out buckets from an (N, d) matrix.
 
@@ -129,19 +153,33 @@ class IVFIndex:
         (The first version scattered buckets in numpy, which re-shipped a
         2x-corpus-sized tensor to the device after a full download.)
 
+        Buckets/spill keep the CORPUS dtype (bf16 stores build bf16
+        buckets — half the IVF HBM; centroids and all score accumulation
+        stay f32), so HBM cost ~= (1 + bucket_factor) x corpus bytes.
+
         ``tune_target``: recall target for build-time nprobe calibration
         (None disables). See ``_tune_nprobe``.
+        ``pre_normalized``: skip the L2 normalize (store embeddings are
+        already unit-norm at encode time) — saves a corpus-sized copy
+        during training.
         """
         emb_dev = jnp.asarray(emb)
-        if emb_dev.dtype != jnp.float32:
+        if emb_dev.dtype not in (jnp.float32, jnp.bfloat16):
             emb_dev = emb_dev.astype(jnp.float32)
         n, d = emb_dev.shape
         nlist = nlist or max(1, int(np.sqrt(n)))
         nlist = min(nlist, n)
         rng = np.random.default_rng(seed)
-        norms = jnp.linalg.norm(emb_dev, axis=1, keepdims=True)
-        emb_n = emb_dev / jnp.maximum(norms, 1e-12)
-        init = emb_n[jnp.asarray(rng.choice(n, size=nlist, replace=False))]
+        if pre_normalized:
+            emb_n = emb_dev
+        elif emb_dev.dtype == jnp.float32:
+            norms = jnp.linalg.norm(emb_dev, axis=1, keepdims=True)
+            emb_n = emb_dev / jnp.maximum(norms, 1e-12)
+        else:  # bf16: chunked normalize, no f32 corpus copy
+            emb_n = _normalize_keep_dtype(emb_dev)
+        init = emb_n[
+            jnp.asarray(rng.choice(n, size=nlist, replace=False))
+        ].astype(jnp.float32)
         cent = _kmeans(emb_n, init, iters)
         assign = _assign(emb_n, cent)
         del emb_n
@@ -162,7 +200,7 @@ class IVFIndex:
         rows_spill = jnp.asarray(order_h[~in_bucket])
         sa_in = sorted_assign[jnp.asarray(np.flatnonzero(in_bucket))]
         pos_in = pos_within[jnp.asarray(np.flatnonzero(in_bucket))]
-        buckets = jnp.zeros((nlist, cap, d), jnp.float32)
+        buckets = jnp.zeros((nlist, cap, d), emb_dev.dtype)
         buckets = buckets.at[sa_in, pos_in].set(emb_dev[rows_in])
         bucket_ids = jnp.full((nlist, cap), -1, jnp.int32)
         bucket_ids = bucket_ids.at[sa_in, pos_in].set(rows_in.astype(jnp.int32))
@@ -191,15 +229,26 @@ class IVFIndex:
 
     def save(self, path) -> None:
         """Persist the trained index (centroids + bucket layout) so server
-        restarts skip k-means retraining."""
+        restarts skip k-means retraining. bf16 buckets ride as uint16 bit
+        patterns + a meta flag (numpy's npz would silently degrade the
+        bf16 dtype to an opaque 2-byte void)."""
+        buckets = np.asarray(self.buckets)
+        spill = np.asarray(self.spill)
+        is_bf16 = buckets.dtype != np.float32
+        if is_bf16:
+            buckets = buckets.view(np.uint16)
+            spill = spill.view(np.uint16)
         np.savez(
             path,
             centroids=np.asarray(self.centroids),
-            buckets=np.asarray(self.buckets),
+            buckets=buckets,
             bucket_ids=np.asarray(self.bucket_ids),
-            spill=np.asarray(self.spill),
+            spill=spill,
             spill_ids=np.asarray(self.spill_ids),
-            meta=np.asarray([self.n, self.nlist, self.tuned_nprobe], np.int64),
+            meta=np.asarray(
+                [self.n, self.nlist, self.tuned_nprobe, int(is_bf16)],
+                np.int64,
+            ),
         )
 
     @classmethod
@@ -209,11 +258,18 @@ class IVFIndex:
                 meta = [int(v) for v in data["meta"]]
                 n, nlist = meta[0], meta[1]
                 tuned = meta[2] if len(meta) > 2 else 0
+                is_bf16 = bool(meta[3]) if len(meta) > 3 else False
+                buckets, spill = data["buckets"], data["spill"]
+                if is_bf16:
+                    import ml_dtypes
+
+                    buckets = buckets.view(ml_dtypes.bfloat16)
+                    spill = spill.view(ml_dtypes.bfloat16)
                 return cls(
                     centroids=jnp.asarray(data["centroids"]),
-                    buckets=jnp.asarray(data["buckets"]),
+                    buckets=jnp.asarray(buckets),
                     bucket_ids=jnp.asarray(data["bucket_ids"]),
-                    spill=jnp.asarray(data["spill"]),
+                    spill=jnp.asarray(spill),
                     spill_ids=jnp.asarray(data["spill_ids"]),
                     n=n, nlist=nlist,
                     tuned_nprobe=tuned,

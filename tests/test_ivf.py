@@ -85,6 +85,46 @@ def test_tiny_corpus():
     assert len(s) == 5
 
 
+def test_bf16_buckets_roundtrip_and_recall(corpus, tmp_path):
+    """bf16 corpora build bf16 buckets/spill (half the IVF HBM; the
+    engine passes the store dtype straight through) with f32 score math;
+    the dtype survives npz save/load bit-exactly and recall@48 vs the
+    exact scan of the same bf16 corpus stays at the >=0.99 contract."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    emb16 = corpus.astype(ml_dtypes.bfloat16)
+    ivf16 = IVFIndex.build(emb16, nlist=128, iters=8, pre_normalized=True)
+    assert ivf16.buckets.dtype == jnp.bfloat16
+    assert ivf16.spill.dtype == jnp.bfloat16
+    assert ivf16.centroids.dtype == jnp.float32
+
+    rng = np.random.default_rng(11)
+    emb_f = emb16.astype(np.float32)
+    recalls = []
+    for _ in range(10):
+        q = emb_f[rng.integers(len(corpus))] + 0.1 * rng.standard_normal(
+            corpus.shape[1]
+        ).astype(np.float32)
+        q /= np.linalg.norm(q)
+        _, exact_idx = exact_search(emb_f, q, 48)
+        s, approx_idx = ivf16.search(q, 48, nprobe=32)
+        assert s.dtype == np.float32  # accumulation stays f32
+        recalls.append(
+            len(set(exact_idx.tolist()) & set(approx_idx.tolist())) / 48
+        )
+    assert float(np.mean(recalls)) >= 0.99, recalls
+
+    ivf16.save(tmp_path / "ivf16.npz")
+    loaded = IVFIndex.load(tmp_path / "ivf16.npz")
+    assert loaded is not None and loaded.buckets.dtype == jnp.bfloat16
+    q = emb_f[7] / np.linalg.norm(emb_f[7])
+    s1, i1 = ivf16.search(q, 12, nprobe=16)
+    s2, i2 = loaded.search(q, 12, nprobe=16)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
 def test_tuned_nprobe_calibration(corpus, ivf, tmp_path):
     """Build-time calibration must pick a small nprobe on clustered data
     (the untuned default nlist/4 gathers a quarter of the corpus) while
