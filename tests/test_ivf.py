@@ -125,6 +125,38 @@ def test_bf16_buckets_roundtrip_and_recall(corpus, tmp_path):
     np.testing.assert_allclose(s1, s2, atol=1e-6)
 
 
+def test_search_host_matches_device(corpus, ivf):
+    """The numpy host probe (CPU-only deployment path) returns the same
+    rows and scores as the device kernel for the same nprobe (distinct
+    scores; both rank score desc)."""
+    rng = np.random.default_rng(21)
+    for _ in range(5):
+        q = rng.standard_normal(corpus.shape[1]).astype(np.float32)
+        q /= np.linalg.norm(q)
+        ds, di = ivf.search(q, 20, nprobe=16)
+        hs, hi = ivf.search_host(q, 20, nprobe=16)
+        np.testing.assert_array_equal(di, hi)
+        np.testing.assert_allclose(ds, hs, atol=1e-5)
+
+
+def test_search_host_spill_and_short_results():
+    """Host probe finds spilled rows (scanned exactly) and degrades to
+    short results when one probe covers < k rows, same as the device
+    path's valid-filter contract."""
+    rng = np.random.default_rng(22)
+    emb = rng.standard_normal((500, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ivf = IVFIndex.build(emb, nlist=50, bucket_factor=0.5, iters=3)
+    assert ivf.spill.shape[0] > 0
+    q = emb[123]
+    s, i = ivf.search_host(q, 1, nprobe=1)
+    assert int(i[0]) == 123  # self-hit even if spilled
+    s, i = ivf.search_host(q, 48, nprobe=1)
+    assert 0 < len(i) <= 48
+    assert np.all(np.diff(s) <= 1e-6)
+    np.testing.assert_allclose(s, emb[i] @ q, atol=1e-5)
+
+
 def test_tuned_nprobe_calibration(corpus, ivf, tmp_path):
     """Build-time calibration must pick a small nprobe on clustered data
     (the untuned default nlist/4 gathers a quarter of the corpus) while
