@@ -141,6 +141,14 @@ class Config:
         # Native DCT-scaled JPEG decode for indexing (up to ~8x cheaper
         # decode of large photos); disable for bit-parity with PIL decode.
         self.FAST_DECODE = _env_bool("EVOSSEARCH_FAST_DECODE", "True")
+        # Short-side floor for DCT-scaled JPEG decode during indexing.
+        # 0 = auto: 9/8 x the model's image_size (252 for 224-px towers) —
+        # measured embedding cosine vs full decode 0.99999, while roughly
+        # quartering decode FLOPs and host->device canvas bytes vs the
+        # old 2x-image_size floor. Raise toward 2x image_size for extra
+        # resample headroom, or set EVOSSEARCH_FAST_DECODE=0 for full
+        # PIL-parity decode.
+        self.DECODE_SHORT_SIDE = _env_int("EVOSSEARCH_DECODE_SHORT_SIDE", "0")
         # Device-bytes budget for cached corpora, in MB. 0 = auto: 80% of
         # the device's reported memory_stats()["bytes_limit"] when the
         # backend publishes one (TPU does), unlimited otherwise (CPU test

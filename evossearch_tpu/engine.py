@@ -358,7 +358,10 @@ class SearchEngine:
                 resume=resume,
                 rows_per_shard=self.cfg.SHARD_SIZE,
                 fast_decode=self.cfg.FAST_DECODE,
-                decode_short_side=2 * self.spec.image_size,
+                decode_short_side=(
+                    self.cfg.DECODE_SHORT_SIDE
+                    or 9 * self.spec.image_size // 8
+                ),
             )
         with self._cache_lock:
             self._index_cache.pop(_canon(folder), None)

@@ -116,10 +116,21 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _pad_dim(n: int, base: int) -> int:
+    """Canvas-dim ladder: multiples of ``base`` up to 512, multiples of
+    max(base, 128) above. At the default base 64 this keeps the zero-pad
+    upload waste under ~15% for DCT-scaled decodes (the old single 256
+    step padded a 300-px side to 512 — 70% wasted relay bytes, the
+    dominant end-to-end indexing cost on upload-bound rigs) while still
+    bounding the distinct jit canvas shapes to 8 + 4 values per axis."""
+    step = base if n <= 512 else max(base, 128)
+    return -(-n // step) * step
+
+
 def prepare_batch(
     arrays: list[np.ndarray],
     target: int = 224,
-    pad_multiple: int = 256,
+    pad_multiple: int = 64,
     max_side: int = DEFAULT_MAX_SIDE,
 ):
     """Batch of (H, W, 3) uint8 arrays -> device-ready tensors.
@@ -129,7 +140,7 @@ def prepare_batch(
 
     Every shape the downstream jit sees is drawn from a SMALL ladder so
     heterogeneous folders can't trigger a recompile per batch: canvas dims
-    round up to ``pad_multiple`` (<= max_side/256 = 4 values per axis) and
+    round up the two-tier ``_pad_dim`` ladder (base ``pad_multiple``) and
     the unique-size count U pads to a power of two (repeating row 0). A
     homogeneous batch still ships one matrix pair and a near-tight canvas.
     """
@@ -141,8 +152,8 @@ def prepare_batch(
         if a.shape[0] > max_side or a.shape[1] > max_side else a
         for a in arrays
     ]
-    hp = -(-max(a.shape[0] for a in shrunk) // pad_multiple) * pad_multiple
-    wp = -(-max(a.shape[1] for a in shrunk) // pad_multiple) * pad_multiple
+    hp = _pad_dim(max(a.shape[0] for a in shrunk), pad_multiple)
+    wp = _pad_dim(max(a.shape[1] for a in shrunk), pad_multiple)
     canvases = np.zeros((len(shrunk), hp, wp, 3), np.uint8)
     sizes: dict[tuple[int, int], int] = {}
     size_idx = np.zeros(len(shrunk), np.int32)

@@ -122,7 +122,9 @@ def test_prepare_batch_shape_ladder():
             for _ in range(5)
         ]
         c, ah, aw, idx = prepare_batch(arrays, target=224)
-        assert c.shape[1] % 256 == 0 and c.shape[2] % 256 == 0
+        # two-tier ladder: 64-multiples to 512, 128-multiples above
+        for dim in (c.shape[1], c.shape[2]):
+            assert dim % (64 if dim <= 512 else 128) == 0
         assert ah.shape[0] in (1, 2, 4, 8)  # U padded to power of two
         shapes.add((c.shape[1], c.shape[2], ah.shape[0]))
-    assert len(shapes) <= 8  # bounded compile-shape variety
+    assert len(shapes) <= 10  # bounded compile-shape variety
