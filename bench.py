@@ -432,17 +432,30 @@ def bench_ivf_10m() -> None:
         f"sharded mesh or the host)")
 
     # -- 2: largest feasible on-chip scale, head-to-head ----------------
-    n, n_clusters = 4_000_000, 2000
-    keys = jax.random.split(jax.random.key(7), 3)
-    centers_d = jax.random.normal(keys[0], (n_clusters, DIM), jnp.float32)
-    ids = jax.random.randint(keys[1], (n,), 0, n_clusters)
-    emb_d = (
-        centers_d[ids]
-        + 0.25 * jax.random.normal(keys[2], (n, DIM), jnp.float32)
-    )
-    emb_d = (
-        emb_d / jnp.linalg.norm(emb_d, axis=1, keepdims=True)
-    ).astype(jnp.bfloat16)
+    n, n_clusters, chunk = 4_000_000, 2000, 250_000
+
+    @jax.jit
+    def gen_corpus(key):
+        # Chunked scan emits normalized bf16 rows directly: an eager
+        # gather + noise + normalize chain would materialize three
+        # (n, DIM) f32 intermediates (~25 GB) and OOM the chip; this
+        # peaks at the bf16 output + one f32 chunk (~4.6 GB).
+        kc, ks = jax.random.split(key)
+        centers = jax.random.normal(kc, (n_clusters, DIM), jnp.float32)
+
+        def body(_, k):
+            ki, kn = jax.random.split(k)
+            e = centers[jax.random.randint(ki, (chunk,), 0, n_clusters)]
+            e = e + 0.25 * jax.random.normal(kn, (chunk, DIM), jnp.float32)
+            e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+            return None, e.astype(jnp.bfloat16)
+
+        _, out = jax.lax.scan(
+            body, None, jax.random.split(ks, n // chunk)
+        )
+        return out.reshape(n, DIM)
+
+    emb_d = gen_corpus(jax.random.key(7))
     queries = jax.random.normal(jax.random.key(8), (QUERY_BATCH, DIM),
                                 jnp.float32)
     queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
@@ -469,7 +482,7 @@ def bench_ivf_10m() -> None:
         f"IVF {ivf_ms / QUERY_BATCH:.3f} ms/query vs exact "
         f"{exact_ms / QUERY_BATCH:.3f} ms/query -> "
         f"{'IVF' if ivf_ms < exact_ms else 'EXACT'} wins on-chip")
-    del ivf, emb_d, centers_d, ids
+    del ivf, emb_d
     gc.collect()
 
     # -- 3: the host crossover ------------------------------------------
