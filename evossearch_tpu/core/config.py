@@ -142,10 +142,11 @@ class Config:
         # decode of large photos); disable for bit-parity with PIL decode.
         self.FAST_DECODE = _env_bool("EVOSSEARCH_FAST_DECODE", "True")
         # Short-side floor for DCT-scaled JPEG decode during indexing.
-        # 0 = auto: 9/8 x the model's image_size (252 for 224-px towers) —
-        # measured embedding cosine vs full decode 0.99999, while roughly
-        # quartering decode FLOPs and host->device canvas bytes vs the
-        # old 2x-image_size floor. Raise toward 2x image_size for extra
+        # 0 = auto: the model's image_size (224 for the 224-px towers) —
+        # measured embedding cosine vs full decode 0.999995 on photo-like
+        # JPEGs, while ~quartering decode FLOPs and host->device canvas
+        # bytes vs the old 2x-image_size floor (the dominant cost on
+        # upload-bound hosts). Raise toward 2x image_size for extra
         # resample headroom, or set EVOSSEARCH_FAST_DECODE=0 for full
         # PIL-parity decode.
         self.DECODE_SHORT_SIDE = _env_int("EVOSSEARCH_DECODE_SHORT_SIDE", "0")

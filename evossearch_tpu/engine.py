@@ -359,8 +359,7 @@ class SearchEngine:
                 rows_per_shard=self.cfg.SHARD_SIZE,
                 fast_decode=self.cfg.FAST_DECODE,
                 decode_short_side=(
-                    self.cfg.DECODE_SHORT_SIDE
-                    or 9 * self.spec.image_size // 8
+                    self.cfg.DECODE_SHORT_SIDE or self.spec.image_size
                 ),
             )
         with self._cache_lock:
