@@ -229,6 +229,15 @@ def _run_phase(fn, budget_s: int = 300):
 
     from evossearch_tpu.utils.profiling import capture_trace
 
+    try:  # leak diagnostic: device bytes still referenced at phase start
+        import jax
+
+        live = sum(
+            getattr(a, "nbytes", 0) for a in jax.live_arrays()
+        )
+        log(f"[{fn.__name__}] live array bytes at start: {live / 2**30:.2f} GB")
+    except Exception:
+        pass
     prev = signal.signal(signal.SIGALRM, _timeout)
     signal.alarm(budget_s)
     try:
@@ -561,10 +570,14 @@ def main() -> None:
     # it with the 10 GB corpus fragments HBM enough to slow the sweep.
     # bench_encode's budget covers a worst-case cold remote compile of the
     # seq-merge program.
+    # bench_ivf_10m runs FIRST among the HBM-heavy phases: its 3M build
+    # needs the most headroom, and frees from earlier big phases land
+    # lazily through the relay (run-2 diagnosis: the 3M build OOM'd with
+    # an arithmetic peak of only ~11 GB after the 10M + 1M-IVF phases).
     budgets = {"bench_index": 600, "bench_encode": 480, "bench_ivf_10m": 600}
     for extra in (bench_encode, bench_encode_b16, bench_encode_l14,
-                  bench_device_pipeline, bench_index, bench_search_10m,
-                  bench_ivf, bench_ivf_10m):
+                  bench_device_pipeline, bench_index, bench_ivf_10m,
+                  bench_search_10m, bench_ivf):
         try:
             _run_phase(extra, budget_s=budgets.get(extra.__name__, 300))
         except Exception as e:  # extras must not kill the primary metric

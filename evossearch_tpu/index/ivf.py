@@ -126,6 +126,44 @@ def _normalize_keep_dtype(emb: jax.Array) -> jax.Array:
     return out.reshape(-1, d)[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("nlist", "cap"))
+def _scatter_buckets(emb, sa_in, pos_in, rows_in, nlist: int, cap: int):
+    """Dense bucket layout as ONE program, chunked so the scan carry
+    updates in place: peak HBM = corpus + buckets + one chunk. The first
+    eager formulation (`zeros.at[sa, pos].set(emb[rows])`) materialized a
+    full gather copy AND a second bucket tensor (out-of-place eager
+    scatter) — +2x corpus at 3M rows, the difference between fitting and
+    OOMing a 16 GB chip. Pad entries carry sa=nlist, dropped by the
+    scatter's out-of-bounds mode."""
+    d = emb.shape[1]
+    m = rows_in.shape[0]
+    chunks = max(1, -(-m // KMEANS_CHUNK))
+    pad = chunks * KMEANS_CHUNK - m
+
+    def padded(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((pad,), fill, a.dtype)]
+        ).reshape(chunks, KMEANS_CHUNK)
+
+    xs = (
+        padded(sa_in, nlist),  # out of range -> dropped
+        padded(pos_in, 0),
+        padded(rows_in, 0),
+    )
+    buckets0 = jnp.zeros((nlist, cap, d), emb.dtype)
+    ids0 = jnp.full((nlist, cap), -1, jnp.int32)
+
+    def body(carry, x):
+        b, ids = carry
+        sa, po, ro = x
+        b = b.at[sa, po].set(emb[ro], mode="drop")
+        ids = ids.at[sa, po].set(ro.astype(jnp.int32), mode="drop")
+        return (b, ids), None
+
+    (buckets, bucket_ids), _ = jax.lax.scan(body, (buckets0, ids0), xs)
+    return buckets, bucket_ids
+
+
 @dataclass
 class IVFIndex:
     centroids: jax.Array  # (nlist, d)
@@ -200,10 +238,9 @@ class IVFIndex:
         rows_spill = jnp.asarray(order_h[~in_bucket])
         sa_in = sorted_assign[jnp.asarray(np.flatnonzero(in_bucket))]
         pos_in = pos_within[jnp.asarray(np.flatnonzero(in_bucket))]
-        buckets = jnp.zeros((nlist, cap, d), emb_dev.dtype)
-        buckets = buckets.at[sa_in, pos_in].set(emb_dev[rows_in])
-        bucket_ids = jnp.full((nlist, cap), -1, jnp.int32)
-        bucket_ids = bucket_ids.at[sa_in, pos_in].set(rows_in.astype(jnp.int32))
+        buckets, bucket_ids = _scatter_buckets(
+            emb_dev, sa_in, pos_in, rows_in, nlist=nlist, cap=cap
+        )
         spill = emb_dev[rows_spill]
         spill_ids = rows_spill.astype(jnp.int32)
         tuned = 0
