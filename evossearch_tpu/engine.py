@@ -726,6 +726,66 @@ class SearchEngine:
                     entry["ivf"] = ivf
         return entry["ivf"]
 
+    def _ivf_want_nlist(self, reader) -> int:
+        """Effective nlist, mirroring IVFIndex.build's resolution
+        (0 = auto sqrt(n), clamped to n) — a persisted index built under
+        an old EVOSSEARCH_IVF_NLIST must not silently pin the setting."""
+        want = self.cfg.IVF_NLIST or max(1, int(reader.count ** 0.5))
+        return min(want, max(reader.count, 1))
+
+    def _entry_ivf_host(self, entry, reader):
+        """Host-resident IVF for an over-HBM-budget folder, or None.
+
+        Loads the persisted sidecar with host=True (pure numpy, zero
+        device bytes) so INDEX_KIND=ivf still means "probe nprobe
+        buckets" instead of silently degrading to a full exact host
+        scan — the probe touches ~nprobe*cap + spill rows per query.
+        Never BUILDS on a miss: training device-puts the corpus, which
+        is exactly what an over-budget folder cannot do."""
+        if "ivf_host" not in entry:
+            with entry["lock"]:
+                if "ivf_host" not in entry:
+                    from .index.ivf import IVFIndex
+
+                    ivf_path = reader.root / "ivf.npz"
+                    ivf = None
+                    if (
+                        ivf_path.exists()
+                        and ivf_path.stat().st_mtime >= entry["mtime"]
+                    ):
+                        ivf = IVFIndex.load(ivf_path, host=True)
+                        want = self._ivf_want_nlist(reader)
+                        if ivf is not None and (
+                            ivf.n != reader.count or ivf.nlist != want
+                        ):
+                            ivf = None
+                    if ivf is None:
+                        log.warning(
+                            "INDEX_KIND=ivf but the over-HBM-budget folder "
+                            "has no matching ivf.npz sidecar — serving the "
+                            "exact host scan instead (build the sidecar on "
+                            "a device with enough HBM, or re-index)",
+                        )
+                    entry["ivf_host"] = ivf
+        return entry["ivf_host"]
+
+    def _ivf_host_search_batch(self, ivf, queries: np.ndarray, k: int):
+        """Batch of host IVF probes, padded to the device search_batch
+        contract: (Q, k) scores/ids with id -1 / -inf score where the
+        probed lists covered fewer than k rows."""
+        from .index.ivf import NEG_INF
+
+        nq = queries.shape[0]
+        out_s = np.full((nq, k), NEG_INF, np.float32)
+        out_i = np.full((nq, k), -1, np.int64)
+        for qi in range(nq):
+            s, i = ivf.search_host(
+                queries[qi], k, nprobe=self.cfg.IVF_NPROBE
+            )
+            out_s[qi, : len(s)] = s
+            out_i[qi, : len(i)] = i
+        return out_s, out_i
+
     def _execute_search_batch(self, folder: str, queries: np.ndarray, k: int):
         """One batched device dispatch over a folder's cached corpus
         (single-device matrix, Pallas one-pass kernel, or sharded mesh,
@@ -735,16 +795,22 @@ class SearchEngine:
             raise LookupError("Folder not indexed")
         k = min(k, reader.count)
         if not self._fits_device(entry, reader):
-            # Over-HBM-budget corpus: exact scan in place over the mmap
-            # shards (threaded C++); exact results, no device residency.
-            # BEFORE the bucket padding — host scans cost O(N*d) per row,
-            # so pad rows would be real full-corpus scans, not free lanes.
+            # Over-HBM-budget corpus: no device residency. INDEX_KIND=ivf
+            # with a matching persisted sidecar serves the host IVF probe
+            # (touches ~nprobe*cap + spill rows/query); otherwise exact
+            # scan in place over the mmap shards. BEFORE the bucket
+            # padding — host scans cost real work per row, so pad rows
+            # would be full scans, not free lanes.
+            self.counters.add("host_routed_queries", queries.shape[0])
+            queries = np.asarray(queries)
+            if self.cfg.INDEX_KIND == "ivf":
+                ivf = self._entry_ivf_host(entry, reader)
+                if ivf is not None:
+                    self.counters.add("ivf_host_queries", queries.shape[0])
+                    return self._ivf_host_search_batch(ivf, queries, k)
             from .index.search import exact_search_host_reader_batch
 
-            self.counters.add("host_routed_queries", queries.shape[0])
-            return exact_search_host_reader_batch(
-                reader, np.asarray(queries), k
-            )
+            return exact_search_host_reader_batch(reader, queries, k)
         # Bucket the query-batch size to {1, 8, 64, 128, ...}: every
         # kernel jit specializes on Q, and concurrent load otherwise
         # compiles a fresh program per distinct batch size mid-burst
@@ -804,12 +870,27 @@ class SearchEngine:
         query = query.astype(np.float32)
         with self.timers.stage("search"):
             if not self._fits_device(entry, reader):
-                # Over-HBM-budget corpus -> host mmap scan (batcher
-                # submissions reach the same route inside
-                # _execute_search_batch_padded; going through it keeps
-                # concurrent queries amortizing one scan pass).
+                # Over-HBM-budget corpus -> host IVF probe (when
+                # INDEX_KIND=ivf and a matching sidecar exists) or host
+                # mmap scan. Batcher submissions reach the same routing
+                # inside _execute_search_batch; going through it keeps
+                # concurrent queries amortizing one scan pass. IVF rows
+                # may come back -1-padded where probes covered < k.
+                use_ivf = (
+                    self.cfg.INDEX_KIND == "ivf"
+                    and self._entry_ivf_host(entry, reader) is not None
+                )
                 if self._batcher is not None:
                     scores, idx = self._batcher.submit(_canon(folder), query, k)
+                    if use_ivf:
+                        valid = idx >= 0
+                        scores, idx = scores[valid], idx[valid]
+                elif use_ivf:
+                    self.counters.add("host_routed_queries")
+                    self.counters.add("ivf_host_queries")
+                    scores, idx = self._entry_ivf_host(
+                        entry, reader
+                    ).search_host(query, k, nprobe=self.cfg.IVF_NPROBE)
                 else:
                     from .index.search import exact_search_host_reader
 

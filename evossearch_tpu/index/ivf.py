@@ -289,7 +289,12 @@ class IVFIndex:
         )
 
     @classmethod
-    def load(cls, path) -> "IVFIndex | None":
+    def load(cls, path, host: bool = False) -> "IVFIndex | None":
+        """Load a persisted index. ``host=True`` keeps every tensor in
+        host numpy — NO device puts — for serving via ``search_host``:
+        the device IVF costs ~(1 + bucket_factor) x corpus HBM, which is
+        exactly what an over-HBM-budget corpus cannot afford."""
+        put = np.asarray if host else jnp.asarray
         try:
             with np.load(path, allow_pickle=False) as data:
                 meta = [int(v) for v in data["meta"]]
@@ -303,11 +308,11 @@ class IVFIndex:
                     buckets = buckets.view(ml_dtypes.bfloat16)
                     spill = spill.view(ml_dtypes.bfloat16)
                 return cls(
-                    centroids=jnp.asarray(data["centroids"]),
-                    buckets=jnp.asarray(buckets),
-                    bucket_ids=jnp.asarray(data["bucket_ids"]),
-                    spill=jnp.asarray(spill),
-                    spill_ids=jnp.asarray(data["spill_ids"]),
+                    centroids=put(data["centroids"]),
+                    buckets=put(buckets),
+                    bucket_ids=put(data["bucket_ids"]),
+                    spill=put(spill),
+                    spill_ids=put(data["spill_ids"]),
                     n=n, nlist=nlist,
                     tuned_nprobe=tuned,
                 )

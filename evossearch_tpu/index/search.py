@@ -311,17 +311,98 @@ def exact_search_host_reader(reader, query: np.ndarray, k: int):
     return cand_s[order], cand_i[order]
 
 
-def exact_search_host_reader_batch(reader, queries: np.ndarray, k: int):
-    """Batched host exact top-k over a reader's mmap shards. The engine's
-    over-HBM-budget route: corpora too large for the device budget are
-    scanned in place by the threaded C++ scanner, one query at a time
-    (the native scan is single-query; the mmap pages stay warm across the
-    batch so later rows run at memory speed)."""
+_HOST_BATCH_BLOCK = 16384  # rows per GEMM block (f32 transient <= 32 MB)
+
+
+def exact_search_host_batch(emb: np.ndarray, queries: np.ndarray, k: int):
+    """Batched exact top-k over ONE host-resident (or mmap) shard: each
+    row block is read once and scored against ALL queries with a single
+    BLAS GEMM — a Q-query batch costs ~1/Q of the memory traffic of Q
+    native scans (the C++ scanner is single-query). bf16 shards quantize
+    the queries to the store dtype first (same contract as every device
+    kernel and the single-query scanner) and widen per block.
+
+    Tie contract (score desc, row index asc) holds exactly: argpartition
+    is tie-arbitrary at the k-th score, so the boundary is re-split into
+    `sure` rows (score strictly above the k-th) plus the LOWEST-index
+    rows at the k-th score — equivalent to a full per-query lexsort
+    without materializing an (N, Q) score matrix. Exactness is w.r.t.
+    the BLAS-accumulated scores this path computes (summation order may
+    differ from the C++ scan in the last ulp)."""
+    is_bf16 = emb.dtype != np.float32
     queries = np.asarray(queries, np.float32)
-    outs = [exact_search_host_reader(reader, q, k) for q in queries]
-    if not outs:
-        return np.zeros((0, k), np.float32), np.zeros((0, k), np.int64)
-    return np.stack([o[0] for o in outs]), np.stack([o[1] for o in outs])
+    if is_bf16:
+        queries = queries.astype(emb.dtype).astype(np.float32)
+    qt = np.ascontiguousarray(queries.T)  # (d, Q)
+    n = emb.shape[0]
+    nq = queries.shape[0]
+    k = min(k, n)
+    if k == 0 or nq == 0:
+        return np.zeros((nq, k), np.float32), np.zeros((nq, k), np.int64)
+    cand_s: list[list[np.ndarray]] = [[] for _ in range(nq)]
+    cand_i: list[list[np.ndarray]] = [[] for _ in range(nq)]
+    for start in range(0, n, _HOST_BATCH_BLOCK):
+        blk = emb[start : start + _HOST_BATCH_BLOCK]
+        s = np.asarray(blk, np.float32) @ qt  # (B, Q)
+        b = s.shape[0]
+        part = (
+            np.argpartition(-s, k - 1, axis=0)[:k] if b > k else None
+        )
+        for qi in range(nq):
+            col = s[:, qi]
+            if part is None:
+                rows = np.arange(b)
+            else:
+                kth = col[part[:, qi]].min()
+                sure = np.flatnonzero(col > kth)
+                ties = np.flatnonzero(col == kth)[: k - len(sure)]
+                rows = np.concatenate([sure, ties])
+            cand_s[qi].append(col[rows])
+            cand_i[qi].append(rows + start)
+    out_s = np.empty((nq, k), np.float32)
+    out_i = np.empty((nq, k), np.int64)
+    for qi in range(nq):
+        ss = np.concatenate(cand_s[qi])
+        ii = np.concatenate(cand_i[qi]).astype(np.int64)
+        order = np.lexsort((ii, -ss))[:k]
+        out_s[qi] = ss[order]
+        out_i[qi] = ii[order]
+    return out_s, out_i
+
+
+def exact_search_host_reader_batch(reader, queries: np.ndarray, k: int):
+    """Batched host exact top-k over a reader's mmap shards — the
+    engine's over-HBM-budget route. Each shard is swept ONCE for the
+    whole batch (exact_search_host_batch); per-shard candidates merge
+    with global row offsets under the shared tie contract. A 1-row batch
+    keeps the single-query native scanner (no f32 widening pass)."""
+    queries = np.asarray(queries, np.float32)
+    nq = queries.shape[0]
+    k = min(k, reader.count)
+    if k == 0 or nq == 0:
+        return np.zeros((nq, k), np.float32), np.zeros((nq, k), np.int64)
+    if nq == 1:
+        s, i = exact_search_host_reader(reader, queries[0], k)
+        return s[None], i[None]
+    parts_s: list[np.ndarray] = []
+    parts_i: list[np.ndarray] = []
+    offset = 0
+    for shard in reader.shard_arrays():
+        s, i = exact_search_host_batch(
+            shard, queries, min(k, shard.shape[0])
+        )
+        parts_s.append(s)
+        parts_i.append(i + offset)
+        offset += shard.shape[0]
+    cs = np.concatenate(parts_s, axis=1)
+    ci = np.concatenate(parts_i, axis=1)
+    out_s = np.empty((nq, k), np.float32)
+    out_i = np.empty((nq, k), np.int64)
+    for qi in range(nq):
+        order = np.lexsort((ci[qi], -cs[qi]))[:k]
+        out_s[qi] = cs[qi][order]
+        out_i[qi] = ci[qi][order]
+    return out_s, out_i
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "tree"))

@@ -116,6 +116,73 @@ def test_fitting_corpora_evict_lru_device_state(monkeypatch, tmp_path):
     assert "emb" in entry_a and "emb" not in entry_b
 
 
+def test_over_budget_ivf_serves_host_probe(monkeypatch, tmp_path):
+    """INDEX_KIND=ivf + over-budget corpus + matching sidecar: queries go
+    through the host IVF probe (zero device bytes), not the exact scan.
+    Full-nprobe probes cover every row, so results equal the oracle."""
+    from evossearch_tpu.index.ivf import IVFIndex
+
+    folder = tmp_path / "a"
+    emb = _make_index(folder, 2000, seed=21)
+    IVFIndex.build(emb, nlist=16, iters=3).save(
+        folder / ".clip_index" / "ivf.npz"
+    )
+    monkeypatch.setenv("EVOSSEARCH_INDEX_KIND", "ivf")
+    monkeypatch.setenv("EVOSSEARCH_IVF_NLIST", "16")
+    monkeypatch.setenv("EVOSSEARCH_IVF_NPROBE", "16")
+    eng = _engine(monkeypatch, tmp_path, budget_mb=1)
+    q = np.random.default_rng(23).standard_normal(D).astype(np.float32)
+    s, i, _ = eng.search_embedding(str(folder), q, 10)
+    es, ei = _oracle(emb, q, 10)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(s, es, rtol=1e-5)
+    entry = eng._index_cache[_canon(str(folder))]
+    assert "emb" not in entry and "ivf" not in entry  # no device state
+    assert isinstance(entry["ivf_host"].centroids, np.ndarray)
+    assert eng.counters.snapshot()["ivf_host_queries"] == 1
+
+    # batched route (batcher submissions land here) pads short rows
+    s2, i2 = eng._execute_search_batch(str(folder), q[None], 10)
+    np.testing.assert_array_equal(i2[0], ei)
+
+
+def test_over_budget_ivf_without_sidecar_falls_back_to_exact(
+    monkeypatch, tmp_path
+):
+    folder = tmp_path / "a"
+    emb = _make_index(folder, 2000, seed=31)
+    monkeypatch.setenv("EVOSSEARCH_INDEX_KIND", "ivf")
+    eng = _engine(monkeypatch, tmp_path, budget_mb=1)
+    q = np.random.default_rng(33).standard_normal(D).astype(np.float32)
+    s, i, _ = eng.search_embedding(str(folder), q, 10)
+    np.testing.assert_array_equal(i, _oracle(emb, q, 10)[1])
+    snap = eng.counters.snapshot()
+    assert snap["host_routed_queries"] == 1
+    assert "ivf_host_queries" not in snap
+    assert eng._index_cache[_canon(str(folder))]["ivf_host"] is None
+
+
+def test_over_budget_ivf_batcher_path(monkeypatch, tmp_path):
+    from evossearch_tpu.index.ivf import IVFIndex
+
+    folder = tmp_path / "a"
+    emb = _make_index(folder, 2000, seed=41)
+    IVFIndex.build(emb, nlist=16, iters=3).save(
+        folder / ".clip_index" / "ivf.npz"
+    )
+    monkeypatch.setenv("EVOSSEARCH_INDEX_KIND", "ivf")
+    monkeypatch.setenv("EVOSSEARCH_IVF_NLIST", "16")
+    monkeypatch.setenv("EVOSSEARCH_IVF_NPROBE", "16")
+    eng = _engine(monkeypatch, tmp_path, budget_mb=1, microbatch="2")
+    try:
+        q = np.random.default_rng(43).standard_normal(D).astype(np.float32)
+        s, i, _ = eng.search_embedding(str(folder), q, 10)
+        np.testing.assert_array_equal(i, _oracle(emb, q, 10)[1])
+        assert "emb" not in eng._index_cache[_canon(str(folder))]
+    finally:
+        eng.close()
+
+
 def test_auto_budget_is_none_or_int(monkeypatch, tmp_path):
     eng = _engine(monkeypatch, tmp_path, budget_mb=0)
     assert eng._hbm_budget is None or isinstance(eng._hbm_budget, int)
