@@ -88,7 +88,9 @@ class SearchEngine:
         """Stop the batcher worker threads. Engines are usually
         process-lifetime singletons; close() exists for benches/tests
         that create several engines so worker threads don't accumulate."""
-        for attr in ("_batcher_inst", "_text_batcher_inst"):
+        for attr in (
+            "_batcher_inst", "_host_batcher_inst", "_text_batcher_inst"
+        ):
             inst = self.__dict__.get(attr)
             if inst is not None:
                 inst.close()
@@ -511,6 +513,30 @@ class SearchEngine:
             return self._batcher_inst
 
     @property
+    def _host_batcher(self):
+        # Separate worker for over-HBM-budget folders: a host mmap scan
+        # takes seconds on this class of host, and routing it through the
+        # device batcher's single worker would head-of-line block every
+        # other folder's sub-millisecond device searches behind it.
+        # Same natural-batching executor — concurrent host queries still
+        # amortize one GEMM pass per shard.
+        inst = self.__dict__.get("_host_batcher_inst", _UNSET)
+        if inst is not _UNSET:
+            return inst
+        with self._cache_lock:
+            if "_host_batcher_inst" not in self.__dict__:
+                if self.cfg.MICROBATCH_MS <= 0:
+                    self._host_batcher_inst = None
+                else:
+                    from .serving import MicroBatcher
+
+                    self._host_batcher_inst = MicroBatcher(
+                        self._execute_search_batch,
+                        window_ms=self.cfg.MICROBATCH_MS,
+                    )
+            return self._host_batcher_inst
+
+    @property
     def _text_batcher(self):
         # Same double-checked construction as _batcher: batches concurrent
         # TEXT ENCODES into one (B, ctx) tower dispatch (see
@@ -629,102 +655,140 @@ class SearchEngine:
                 if total <= budget:
                     return
 
+    def _release_device_bytes(self, entry, need: int) -> None:
+        """Roll back a reservation whose materialization failed. Without
+        this, the phantom bytes are charged AGAIN on retry and the cached
+        total permanently exceeds the budget — every later materialization
+        of any folder then evicts everyone else (eviction thrash) until
+        process restart."""
+        with self._cache_lock:
+            entry["device_bytes"] = max(
+                0, entry.get("device_bytes", 0) - need
+            )
+
     # -- lazy corpus-state materialization (double-checked per-entry lock:
-    #    a burst of first queries builds each corpus-sized object once) --
+    #    a burst of first queries builds each corpus-sized object once).
+    #    Readers use .get() + a local ref, NOT `in` + re-index: eviction
+    #    (_reserve_device_bytes) pops these keys from live entries without
+    #    the reader holding any lock, so `entry["emb"]` after an unlocked
+    #    membership check can KeyError. The local ref keeps the evicted
+    #    array alive for the in-flight query; the next query
+    #    re-materializes. Reservations happen BEFORE the device put —
+    #    evicting colder folders first is the whole point (the transient
+    #    old+new sum would otherwise OOM the chip) — and roll back if the
+    #    materialization throws. --
 
     def _entry_emb(self, entry, reader):
         import jax.numpy as jnp
 
-        if "emb" not in entry:
+        emb = entry.get("emb")
+        if emb is None:
             with entry["lock"]:
-                if "emb" not in entry:
-                    self._reserve_device_bytes(
-                        entry, self._corpus_device_bytes(reader)
-                    )
-                    entry["emb"] = jnp.asarray(np.asarray(reader.embeddings()))
-        return entry["emb"]
+                emb = entry.get("emb")
+                if emb is None:
+                    need = self._corpus_device_bytes(reader)
+                    self._reserve_device_bytes(entry, need)
+                    try:
+                        emb = jnp.asarray(np.asarray(reader.embeddings()))
+                    except BaseException:
+                        self._release_device_bytes(entry, need)
+                        raise
+                    entry["emb"] = emb
+        return emb
 
     def _entry_sharded(self, entry, reader):
-        if "sharded" not in entry:
+        sharded = entry.get("sharded")
+        if sharded is None:
             with entry["lock"]:
-                if "sharded" not in entry:
-                    from .parallel import ShardedIndex
+                sharded = entry.get("sharded")
+                if sharded is None:
+                    from .parallel import ShardedIndex, corpus_mesh
 
-                    sharded = ShardedIndex.from_matrix(
-                        np.asarray(reader.embeddings()),
-                        n_devices=self.cfg.MESH_DEVICES,
-                    )
                     # budget is per chip; each device holds 1/n of the rows
-                    self._reserve_device_bytes(
-                        entry,
-                        self._corpus_device_bytes(reader)
-                        // max(sharded.mesh.devices.size, 1),
+                    mesh = corpus_mesh(self.cfg.MESH_DEVICES)
+                    need = self._corpus_device_bytes(reader) // max(
+                        mesh.devices.size, 1
                     )
+                    self._reserve_device_bytes(entry, need)
+                    try:
+                        sharded = ShardedIndex.from_matrix(
+                            np.asarray(reader.embeddings()), mesh=mesh
+                        )
+                    except BaseException:
+                        self._release_device_bytes(entry, need)
+                        raise
                     entry["sharded"] = sharded
-        return entry["sharded"]
+        return sharded
 
     def _entry_ivf(self, entry, reader):
-        if "ivf" not in entry:
-            with entry["lock"]:
-                if "ivf" not in entry:
-                    from .index.ivf import IVFIndex
+        ivf = entry.get("ivf")
+        if ivf is not None:
+            return ivf
+        with entry["lock"]:
+            ivf = entry.get("ivf")
+            if ivf is None:
+                # IVF device bytes ~= (1 + bucket_factor) x corpus at
+                # the store dtype (dense buckets + spill; centroids
+                # are small). Reserved BEFORE load/build — both
+                # device-put corpus-sized tensors.
+                need = 3 * self._corpus_device_bytes(reader)
+                self._reserve_device_bytes(entry, need)
+                try:
+                    ivf = self._load_or_build_ivf(entry, reader)
+                except BaseException:
+                    self._release_device_bytes(entry, need)
+                    raise
+                entry["ivf"] = ivf
+        return ivf
 
-                    ivf_path = reader.root / "ivf.npz"
-                    ivf = None
-                    if (
-                        ivf_path.exists()
-                        and ivf_path.stat().st_mtime >= entry["mtime"]
-                    ):
-                        ivf = IVFIndex.load(ivf_path)
-                        # effective nlist mirrors IVFIndex.build's
-                        # resolution (0 = auto sqrt(n), clamped to n); a
-                        # persisted index built under an old
-                        # EVOSSEARCH_IVF_NLIST would otherwise silently
-                        # ignore the new setting forever
-                        want = self.cfg.IVF_NLIST or max(
-                            1, int(reader.count ** 0.5)
-                        )
-                        want = min(want, max(reader.count, 1))
-                        if ivf is not None and (
-                            ivf.n != reader.count or ivf.nlist != want
-                        ):
-                            ivf = None
-                    # IVF device bytes ~= (1 + bucket_factor) x corpus at
-                    # the store dtype (dense buckets + spill; centroids
-                    # are small)
-                    self._reserve_device_bytes(
-                        entry, 3 * self._corpus_device_bytes(reader)
-                    )
-                    import jax
+    def _load_or_build_ivf(self, entry, reader):
+        from .index.ivf import IVFIndex
 
-                    if jax.default_backend() != "cpu":
-                        # Measured on v5e: the exact kernels beat IVF at
-                        # every corpus size that fits HBM (ARCHITECTURE
-                        # "IVF positioning"); say so instead of silently
-                        # serving 3-5x slower queries.
-                        log.warning(
-                            "INDEX_KIND=ivf on an accelerator: exact "
-                            "search is measured FASTER for on-device "
-                            "corpora at every size that fits HBM — "
-                            "consider EVOSSEARCH_INDEX_KIND=exact "
-                            "(IVF remains the right choice for host-only "
-                            "or beyond-HBM deployments)",
-                        )
-                    if ivf is None:
-                        # Store embeddings are L2-normalized at encode
-                        # time; buckets keep the store dtype (bf16 halves
-                        # the IVF HBM footprint).
-                        ivf = IVFIndex.build(
-                            np.asarray(reader.embeddings()),
-                            nlist=self.cfg.IVF_NLIST,
-                            pre_normalized=True,
-                        )
-                        try:
-                            ivf.save(ivf_path)
-                        except OSError:
-                            pass  # persistence is an optimization only
-                    entry["ivf"] = ivf
-        return entry["ivf"]
+        ivf_path = reader.root / "ivf.npz"
+        ivf = None
+        if (
+            ivf_path.exists()
+            and ivf_path.stat().st_mtime >= entry["mtime"]
+        ):
+            ivf = IVFIndex.load(ivf_path)
+            # effective-nlist staleness rule shared with the host
+            # sidecar path (_ivf_want_nlist): a persisted index built
+            # under an old EVOSSEARCH_IVF_NLIST would otherwise
+            # silently ignore the new setting forever
+            if ivf is not None and (
+                ivf.n != reader.count
+                or ivf.nlist != self._ivf_want_nlist(reader)
+            ):
+                ivf = None
+        import jax
+
+        if jax.default_backend() != "cpu":
+            # Measured on v5e: the exact kernels beat IVF at
+            # every corpus size that fits HBM (ARCHITECTURE
+            # "IVF positioning"); say so instead of silently
+            # serving 3-5x slower queries.
+            log.warning(
+                "INDEX_KIND=ivf on an accelerator: exact "
+                "search is measured FASTER for on-device "
+                "corpora at every size that fits HBM — "
+                "consider EVOSSEARCH_INDEX_KIND=exact "
+                "(IVF remains the right choice for host-only "
+                "or beyond-HBM deployments)",
+            )
+        if ivf is None:
+            # Store embeddings are L2-normalized at encode
+            # time; buckets keep the store dtype (bf16 halves
+            # the IVF HBM footprint).
+            ivf = IVFIndex.build(
+                np.asarray(reader.embeddings()),
+                nlist=self.cfg.IVF_NLIST,
+                pre_normalized=True,
+            )
+            try:
+                ivf.save(ivf_path)
+            except OSError:
+                pass  # persistence is an optimization only
+        return ivf
 
     def _ivf_want_nlist(self, reader) -> int:
         """Effective nlist, mirroring IVFIndex.build's resolution
@@ -872,16 +936,20 @@ class SearchEngine:
             if not self._fits_device(entry, reader):
                 # Over-HBM-budget corpus -> host IVF probe (when
                 # INDEX_KIND=ivf and a matching sidecar exists) or host
-                # mmap scan. Batcher submissions reach the same routing
-                # inside _execute_search_batch; going through it keeps
-                # concurrent queries amortizing one scan pass. IVF rows
+                # mmap scan, via the DEDICATED host batcher: submissions
+                # reach the same routing inside _execute_search_batch, so
+                # concurrent host queries amortize one scan pass, without
+                # a seconds-long scan head-of-line blocking the device
+                # batcher's sub-ms searches of other folders. IVF rows
                 # may come back -1-padded where probes covered < k.
                 use_ivf = (
                     self.cfg.INDEX_KIND == "ivf"
                     and self._entry_ivf_host(entry, reader) is not None
                 )
-                if self._batcher is not None:
-                    scores, idx = self._batcher.submit(_canon(folder), query, k)
+                if self._host_batcher is not None:
+                    scores, idx = self._host_batcher.submit(
+                        _canon(folder), query, k
+                    )
                     if use_ivf:
                         valid = idx >= 0
                         scores, idx = scores[valid], idx[valid]

@@ -183,6 +183,162 @@ def test_over_budget_ivf_batcher_path(monkeypatch, tmp_path):
         eng.close()
 
 
+def test_failed_materialization_rolls_back_reservation(monkeypatch, tmp_path):
+    """A materialization that throws (transient device OOM / relay error)
+    must not leave phantom device_bytes behind: they'd be charged again on
+    retry and permanently inflate the cached total, evicting every other
+    folder on every materialization until restart."""
+    eng = _engine(monkeypatch, tmp_path, budget_mb=100)
+    emb = _make_index(tmp_path / "a", 500, seed=51)
+    entry, reader = eng._cached_index(str(tmp_path / "a"))
+    orig = reader.embeddings
+
+    def boom():
+        raise RuntimeError("transient device error")
+
+    monkeypatch.setattr(reader, "embeddings", boom)
+    with pytest.raises(RuntimeError):
+        eng._entry_emb(entry, reader)
+    assert entry.get("device_bytes", 0) == 0 and "emb" not in entry
+
+    monkeypatch.setattr(reader, "embeddings", orig)
+    out = eng._entry_emb(entry, reader)
+    assert out.shape == (500, D)
+    assert entry["device_bytes"] == 500 * D * 4  # charged exactly once
+
+
+def test_reservation_precedes_device_put(monkeypatch, tmp_path):
+    """Eviction must run BEFORE the new corpus lands on device for every
+    materialization path — reserve-after-put lets old+new coexist
+    transiently and OOM the chip at the flagship scale."""
+    from evossearch_tpu.index.ivf import IVFIndex
+    from evossearch_tpu.parallel import ShardedIndex
+
+    folder = tmp_path / "a"
+    emb = _make_index(folder, 400, seed=61)
+    IVFIndex.build(emb, nlist=8, iters=2).save(
+        folder / ".clip_index" / "ivf.npz"
+    )
+
+    eng = _engine(monkeypatch, tmp_path, budget_mb=100)
+    entry, reader = eng._cached_index(str(folder))
+
+    seen = {}
+    orig_fm = ShardedIndex.from_matrix.__func__
+
+    def spy_from_matrix(cls, matrix, mesh=None, n_devices=0):
+        seen["sharded_reserved"] = entry.get("device_bytes", 0) > 0
+        return orig_fm(cls, matrix, mesh=mesh, n_devices=n_devices)
+
+    monkeypatch.setattr(
+        ShardedIndex, "from_matrix", classmethod(spy_from_matrix)
+    )
+    eng._entry_sharded(entry, reader)
+    assert seen["sharded_reserved"] is True
+
+    orig_load = IVFIndex.load.__func__
+
+    def spy_load(cls, path, host=False):
+        seen["ivf_reserved"] = entry.get("device_bytes", 0) > 0
+        return orig_load(cls, path, host=host)
+
+    monkeypatch.setattr(IVFIndex, "load", classmethod(spy_load))
+    monkeypatch.setenv("EVOSSEARCH_IVF_NLIST", "8")
+    eng.cfg.IVF_NLIST = 8
+    entry.pop("device_bytes", None)
+    eng._entry_ivf(entry, reader)
+    assert seen["ivf_reserved"] is True
+
+
+def test_concurrent_readers_survive_eviction(monkeypatch, tmp_path):
+    """Readers take a local ref via .get(): eviction popping 'emb' from a
+    live entry between another thread's membership check and its read
+    must never KeyError (the pre-fix double-checked pattern did)."""
+    import threading
+
+    eng = _engine(monkeypatch, tmp_path, budget_mb=1)
+    embs = {}
+    for name, seed in (("a", 71), ("b", 72)):
+        embs[name] = _make_index(tmp_path / name, 700, seed)
+    entry_a, reader_a = eng._cached_index(str(tmp_path / "a"))
+    entry_b, reader_b = eng._cached_index(str(tmp_path / "b"))
+
+    errors = []
+    stop = threading.Event()
+
+    def reader_loop():
+        while not stop.is_set():
+            try:
+                emb = eng._entry_emb(entry_a, reader_a)
+                assert emb.shape == (700, D)
+            except Exception as e:  # pragma: no cover - the regression
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=reader_loop) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        for _ in range(60):  # each b-materialization evicts a, and back
+            eng._entry_emb(entry_b, reader_b)
+            eng._entry_emb(entry_a, reader_a)
+            with eng._cache_lock:
+                entry_b.pop("emb", None)
+                entry_b["device_bytes"] = 0
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+    assert not errors, errors
+
+
+def test_host_scan_does_not_block_device_folder_queries(
+    monkeypatch, tmp_path
+):
+    """A seconds-long over-budget host scan must not head-of-line block
+    device-resident folders' searches: they ride separate batcher
+    workers."""
+    import threading
+    import time as _time
+
+    from evossearch_tpu.index import search as search_mod
+
+    eng = _engine(monkeypatch, tmp_path, budget_mb=1, microbatch="2")
+    try:
+        # big = over budget (2000 rows > 1 MB), small = fits (700 rows)
+        big = _make_index(tmp_path / "big", 2000, seed=81)
+        small = _make_index(tmp_path / "small", 700, seed=82)
+        q = np.random.default_rng(83).standard_normal(D).astype(np.float32)
+
+        orig = search_mod.exact_search_host_reader_batch
+        entered = threading.Event()
+
+        def slow_scan(reader, queries, k):
+            entered.set()
+            _time.sleep(1.0)
+            return orig(reader, queries, k)
+
+        monkeypatch.setattr(
+            search_mod, "exact_search_host_reader_batch", slow_scan
+        )
+        t = threading.Thread(
+            target=eng.search_embedding, args=(str(tmp_path / "big"), q, 5)
+        )
+        t.start()
+        assert entered.wait(timeout=10)
+        t0 = _time.perf_counter()
+        s, i, _ = eng.search_embedding(str(tmp_path / "small"), q, 5)
+        fast_s = _time.perf_counter() - t0
+        t.join(timeout=15)
+        np.testing.assert_array_equal(i, _oracle(small, q, 5)[1])
+        assert fast_s < 0.8, (
+            f"device-folder query took {fast_s:.2f}s — head-of-line "
+            "blocked behind the host scan"
+        )
+    finally:
+        eng.close()
+
+
 def test_auto_budget_is_none_or_int(monkeypatch, tmp_path):
     eng = _engine(monkeypatch, tmp_path, budget_mb=0)
     assert eng._hbm_budget is None or isinstance(eng._hbm_budget, int)
