@@ -150,6 +150,12 @@ class Config:
         # resample headroom, or set EVOSSEARCH_FAST_DECODE=0 for full
         # PIL-parity decode.
         self.DECODE_SHORT_SIDE = _env_int("EVOSSEARCH_DECODE_SHORT_SIDE", "0")
+        # Planar 4:2:0 JPEG upload for indexing: ship Y + half-res Cb/Cr
+        # (1.5 B/px) instead of interleaved RGB (3 B/px) and run chroma
+        # resampling + YCbCr->RGB on device — halves the canvas upload,
+        # the dominant indexing cost on relay-attached rigs. Disable for
+        # bit-parity with the RGB canvas path.
+        self.PLANAR_JPEG = _env_bool("EVOSSEARCH_PLANAR_JPEG", "True")
         # Device-bytes budget for cached corpora, in MB. 0 = auto: 80% of
         # the device's reported memory_stats()["bytes_limit"] when the
         # backend publishes one (TPU does), unlimited otherwise (CPU test

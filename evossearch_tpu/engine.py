@@ -188,6 +188,37 @@ class SearchEngine:
         return dispatch
 
     @functools.cached_property
+    def _jit_prep_encode_planar(self):
+        """Planar twin of _jit_prep_encode: fused chroma-upsampling
+        resample + YCbCr->RGB + normalize + ViT encode in ONE XLA program.
+        Fed by the planar JPEG decode path (native decode_jpeg_planar),
+        which halves the host->device canvas bytes."""
+        import functools as _ft
+
+        import jax
+
+        from .models import encode_image
+        from .preprocess import device_preprocess_planar_indexed
+
+        spec, dtype = self.spec, self._compute_dtype
+        want_merge = 2 if (
+            spec.num_image_tokens < 128 and jax.default_backend() != "cpu"
+        ) else 1
+
+        @_ft.partial(jax.jit, static_argnames=("m",))
+        def fn(params, y, c, a_h_y, a_w_y, a_h_c, a_w_c, size_idx, m=1):
+            x = device_preprocess_planar_indexed(
+                y, c, a_h_y, a_w_y, a_h_c, a_w_c, size_idx, out_dtype=dtype
+            )
+            return encode_image(params, x, spec, compute_dtype=dtype, seq_merge=m)
+
+        def dispatch(params, y, c, a_h_y, a_w_y, a_h_c, a_w_c, size_idx):
+            m = want_merge if y.shape[0] % 2 == 0 else 1
+            return fn(params, y, c, a_h_y, a_w_y, a_h_c, a_w_c, size_idx, m=m)
+
+        return dispatch
+
+    @functools.cached_property
     def _encode_sharding(self):
         """Batch-axis NamedSharding for data-parallel indexing encode, or
         None on a single device. SURVEY §2 parallelism row 1: shard image
@@ -245,6 +276,58 @@ class SearchEngine:
                 in_flight.append(
                     self._jit_prep_encode(
                         self.params, batch, a_h_u, a_w_u, size_idx[sl]
+                    )
+                )
+                if len(in_flight) >= 2:
+                    out.append(np.asarray(in_flight.pop(0)))
+            out.extend(np.asarray(o) for o in in_flight)
+        emb = np.concatenate(out, axis=0)[:n]
+        self.counters.add("images_encoded", n)
+        return emb
+
+    def encode_prepared_planar(
+        self, y_canvas: np.ndarray, c_canvas: np.ndarray,
+        a_h_y: np.ndarray, a_w_y: np.ndarray,
+        a_h_c: np.ndarray, a_w_c: np.ndarray, size_idx: np.ndarray,
+    ) -> np.ndarray:
+        """prepare_batch_planar output -> (B, embed_dim) embeddings via
+        the fused planar program; same bucket padding, DP sharding, and
+        two-bucket pipelining as encode_prepared."""
+        import jax
+
+        n = y_canvas.shape[0]
+        if n == 0:
+            return np.zeros((0, self.spec.embed_dim), np.float32)
+        b = _bucket(n, max(self.cfg.BATCH_SIZE, 1))
+        sharding = self._encode_sharding
+        if sharding is not None:
+            ndev = len(sharding.mesh.devices)
+            if b % ndev:
+                b = -(-b // ndev) * ndev
+        if n < b or n % b:
+            pad = -(-n // b) * b - n
+            y_canvas = np.concatenate(
+                [y_canvas,
+                 np.zeros((pad,) + y_canvas.shape[1:], y_canvas.dtype)]
+            )
+            c_canvas = np.concatenate(
+                [c_canvas,
+                 np.zeros((pad,) + c_canvas.shape[1:], c_canvas.dtype)]
+            )
+            size_idx = np.concatenate([size_idx, np.zeros(pad, size_idx.dtype)])
+        out = []
+        in_flight: list = []
+        with self.timers.stage("prep_encode"):
+            for start in range(0, y_canvas.shape[0], b):
+                sl = slice(start, start + b)
+                yb, cb = y_canvas[sl], c_canvas[sl]
+                if sharding is not None:
+                    yb = jax.device_put(yb, sharding)
+                    cb = jax.device_put(cb, sharding)
+                in_flight.append(
+                    self._jit_prep_encode_planar(
+                        self.params, yb, cb, a_h_y, a_w_y, a_h_c, a_w_c,
+                        size_idx[sl],
                     )
                 )
                 if len(in_flight) >= 2:
@@ -363,6 +446,7 @@ class SearchEngine:
                 decode_short_side=(
                     self.cfg.DECODE_SHORT_SIDE or self.spec.image_size
                 ),
+                planar=self.cfg.PLANAR_JPEG,
             )
         with self._cache_lock:
             self._index_cache.pop(_canon(folder), None)

@@ -53,6 +53,7 @@ def build_index(
     decode_short_side: int = 448,
     pipeline_encoder=None,
     incremental: bool = False,
+    planar: bool = True,
 ) -> int:
     """Index every image in ``folder``; returns number of rows written.
 
@@ -89,7 +90,7 @@ def build_index(
     if pipeline_encoder is not None:
         _pipelined_build(
             paths, done, writer, pipeline_encoder, batch_size,
-            fast_decode, decode_short_side,
+            fast_decode, decode_short_side, planar=planar,
         )
     else:
         pending_imgs: list = []
@@ -196,19 +197,33 @@ def _reuse_unchanged_rows(
 
 
 def _pipelined_build(
-    paths, done, writer, encoder, batch_size, fast_decode, decode_short_side
+    paths, done, writer, encoder, batch_size, fast_decode, decode_short_side,
+    planar=True,
 ) -> None:
     """Overlapped host/device indexing pipeline.
 
     A producer thread decodes + host-prepares batches (PIL/native decode
     release the GIL) while the device runs the fused preprocess+encode
     program on the previous batch — double buffering via a bounded queue.
+
+    With ``planar`` (and the native extension built), JPEGs decode to
+    planar 4:2:0 YCbCr and ride the planar fused program — half the
+    host->device canvas bytes, the dominant indexing cost on upload-bound
+    rigs. Non-JPEG / non-YCbCr images accumulate into separate RGB
+    batches; both kinds flow through the same queue, tagged.
     """
     import queue
     import threading
 
-    from ..preprocess import prepare_batch
+    from ..preprocess import (
+        DEFAULT_MAX_SIDE,
+        planar_to_rgb_host,
+        prepare_batch,
+        prepare_batch_planar,
+    )
+    from ..preprocess.io import load_batch_planar
 
+    use_planar = planar and hasattr(encoder, "encode_prepared_planar")
     target = encoder.spec.image_size
     out: "queue.Queue" = queue.Queue(maxsize=3)
     cancelled = threading.Event()
@@ -236,18 +251,24 @@ def _pipelined_build(
     def producer():
         from ..preprocess.pipeline import MAX_UNIQUE_SIZES
 
-        batch, bpaths, bmeta = [], [], []
-        batch_sizes: set = set()
+        # one accumulator per batch kind: entries, paths, meta, size-set
+        accs = {
+            "rgb": ([], [], [], set()),
+            "planar": ([], [], [], set()),
+        }
 
-        def emit():
-            nonlocal batch, bpaths, bmeta
-            if batch:
-                with timed("index_prepare"):
+        def emit(kind) -> bool:
+            batch, bpaths, bmeta, _ = accs[kind]
+            if not batch:
+                return True
+            with timed("index_prepare"):
+                if kind == "planar":
+                    prepared = prepare_batch_planar(batch, target=target)
+                else:
                     prepared = prepare_batch(batch, target=target)
-                if not safe_put((*prepared, bpaths, bmeta)):
-                    return
-                batch, bpaths, bmeta = [], [], []
-                batch_sizes.clear()
+            ok = safe_put((kind, prepared, bpaths, bmeta))
+            accs[kind] = ([], [], [], set())
+            return ok
 
         try:
             todo = [p for p in paths if str(p) not in done]
@@ -257,13 +278,17 @@ def _pipelined_build(
                 chunk = todo[start : start + batch_size]
                 # threaded native batch decode (GIL released per worker)
                 with timed("index_decode"):
-                    arrays = load_batch_rgb(
+                    entries = load_batch_planar(
+                        chunk,
+                        min_short_side=decode_short_side if fast_decode else 0,
+                        fast=fast_decode,
+                    ) if use_planar else load_batch_rgb(
                         chunk,
                         min_short_side=decode_short_side if fast_decode else 0,
                         fast=fast_decode,
                     )
-                for img_path, arr in zip(chunk, arrays):
-                    if arr is None:  # oldapp.py:79-80 semantics
+                for img_path, entry in zip(chunk, entries):
+                    if entry is None:  # oldapp.py:79-80 semantics
                         log.warning("Error processing %s: undecodable", img_path)
                         continue
                     try:
@@ -272,15 +297,28 @@ def _pipelined_build(
                         log.warning("Error processing %s: %s", img_path, e)
                         continue
                     spath = str(img_path)
+                    if isinstance(entry, tuple):
+                        h, w = entry[0].shape
+                        if h > DEFAULT_MAX_SIDE or w > DEFAULT_MAX_SIDE:
+                            # beyond the canvas ladder: needs the RGB host
+                            # pre-shrink (rare — giant photo at 1/8 scale)
+                            entry = planar_to_rgb_host(*entry)
+                            kind, hw = "rgb", entry.shape[:2]
+                        else:
+                            kind, hw = "planar", (h, w)
+                    else:
+                        kind, hw = "rgb", entry.shape[:2]
+                    batch, bpaths, bmeta, batch_sizes = accs[kind]
                     # flush BEFORE admitting a new distinct size past the
                     # cap (bounds the per-unique-size resample matrices;
                     # see preprocess.pipeline.MAX_UNIQUE_SIZES)
-                    hw = (arr.shape[0], arr.shape[1])
                     if hw not in batch_sizes and (
                         len(batch_sizes) >= MAX_UNIQUE_SIZES
                     ):
-                        emit()
-                    batch.append(arr)
+                        if not emit(kind):
+                            return
+                        batch, bpaths, bmeta, batch_sizes = accs[kind]
+                    batch.append(entry)
                     batch_sizes.add(hw)
                     bpaths.append(spath)
                     bmeta.append(
@@ -288,8 +326,11 @@ def _pipelined_build(
                          "size": stat.st_size}
                     )
                     if len(batch) >= batch_size:
-                        emit()
-            emit()
+                        if not emit(kind):
+                            return
+            for kind in ("planar", "rgb"):
+                if not emit(kind):
+                    return
             safe_put(None)
         except BaseException as e:  # surface producer crashes to the consumer
             safe_put(e)
@@ -303,8 +344,11 @@ def _pipelined_build(
                 break
             if isinstance(item, BaseException):
                 raise item
-            canvases, a_h_u, a_w_u, size_idx, bpaths, bmeta = item
-            emb = encoder.encode_prepared(canvases, a_h_u, a_w_u, size_idx)
+            kind, prepared, bpaths, bmeta = item
+            if kind == "planar":
+                emb = encoder.encode_prepared_planar(*prepared)
+            else:
+                emb = encoder.encode_prepared(*prepared)
             writer.append(np.asarray(emb, np.float32), bpaths, bmeta)
         thread.join()
     except BaseException:

@@ -32,11 +32,15 @@ def get_native():
     if _native_checked:
         return _native
     _native_checked = True
+    stale = False
     try:
         from evossearch_tpu import _native as mod
 
-        _native = mod
-        return _native
+        # a .so built before the planar API is stale — rebuild in place
+        if hasattr(mod, "decode_jpeg_planar_batch"):
+            _native = mod
+            return _native
+        stale = True
     except ImportError:
         pass
     build = Path(__file__).resolve().parents[2] / "native" / "build.sh"
@@ -45,12 +49,80 @@ def get_native():
             subprocess.run(
                 ["sh", str(build)], capture_output=True, timeout=120, check=True
             )
-            from evossearch_tpu import _native as mod
+            if stale:
+                import importlib
 
-            _native = mod
+                from evossearch_tpu import _native as mod
+
+                _native = importlib.reload(mod)
+            else:
+                from evossearch_tpu import _native as mod
+
+                _native = mod
         except Exception:
             _native = None
+    elif stale:
+        # can't rebuild: keep the old module — callers feature-gate on
+        # hasattr, so the pre-planar API still works
+        from evossearch_tpu import _native as mod
+
+        _native = mod
     return _native
+
+
+def load_batch_planar(
+    paths: list, min_short_side: int = 0, fast: bool = True
+) -> list:
+    """Decode a batch preferring planar 4:2:0 output for JPEGs.
+
+    Entry types in the returned list (same order as ``paths``):
+      (y, cb, cr) tuple of uint8 arrays — planar YCbCr from the native
+          decoder (y: (H, W); cb/cr: (ceil(H/2), ceil(W/2))), 1.5 B/px
+          for the device upload instead of RGB's 3;
+      (H, W, 3) uint8 ndarray — RGB for non-JPEGs, non-YCbCr JPEGs, or
+          when the native extension is unavailable;
+      None — per-image decode failure (caller skips; oldapp.py:79-80).
+    """
+    native = get_native()
+    if native is None or not hasattr(native, "decode_jpeg_planar_batch"):
+        return load_batch_rgb(paths, min_short_side, fast)
+    out: list = [None] * len(paths)
+    jpeg_positions = []
+    jpeg_bytes = []
+    for pos, path in enumerate(paths):
+        path = Path(path)
+        if fast and path.suffix.lower() in (".jpg", ".jpeg"):
+            try:
+                jpeg_bytes.append(path.read_bytes())
+                jpeg_positions.append(pos)
+                continue
+            except OSError:
+                out[pos] = None
+                continue
+        try:
+            out[pos] = load_image_rgb(path, min_short_side, fast)
+        except Exception:
+            out[pos] = None
+    if jpeg_positions:
+        decoded = native.decode_jpeg_planar_batch(jpeg_bytes, min_short_side, 0)
+        for pos, result in zip(jpeg_positions, decoded):
+            if result is None:
+                # odd JPEG the native decoder rejects -> PIL retry
+                try:
+                    out[pos] = load_image_rgb(paths[pos], 0, fast=False)
+                except Exception:
+                    out[pos] = None
+            elif len(result) == 3:  # non-YCbCr source -> RGB fallback shape
+                h, w, rgb = result
+                out[pos] = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+            else:
+                h, w, ch, cw, y, cb, cr = result
+                out[pos] = (
+                    np.frombuffer(y, np.uint8).reshape(h, w),
+                    np.frombuffer(cb, np.uint8).reshape(ch, cw),
+                    np.frombuffer(cr, np.uint8).reshape(ch, cw),
+                )
+    return out
 
 
 def load_batch_rgb(

@@ -24,7 +24,12 @@ import functools
 import numpy as np
 
 from ..core.constants import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
-from .resize import clip_resize_crop_matrices, resample_matrix, resized_dims
+from .resize import (
+    clip_resize_crop_chroma_matrices,
+    clip_resize_crop_matrices,
+    resample_matrix,
+    resized_dims,
+)
 
 DEFAULT_MAX_SIDE = 1024
 
@@ -96,6 +101,70 @@ def device_preprocess_indexed(canvases, a_h_unique, a_w_unique, size_idx,
     """
     return device_preprocess(
         canvases, a_h_unique[size_idx], a_w_unique[size_idx], out_dtype
+    )
+
+
+def device_preprocess_planar(y, c, a_h_y, a_w_y, a_h_c, a_w_c, out_dtype=None):
+    """Jittable fused planar-YCbCr resample + crop + color-convert +
+    normalize — the device half of the planar JPEG path.
+
+    y: (B, Hp, Wp) uint8 luma canvases; c: (B, Hp//2, Wp//2, 2) uint8
+    Cb/Cr canvases at half resolution (native decode_jpeg_planar's 4:2:0
+    layout — 1.5 B/px on the wire vs RGB's 3, the point of this path).
+    a_h_y/a_w_y: (B, target, Hp/Wp) luma resize+crop weights; a_h_c/a_w_c:
+    (B, target, Hp//2 / Wp//2) chroma weights on the SAME output grid
+    (resize.clip_resize_crop_chroma_matrices folds the 2x chroma upsample
+    into the resample). Both planes ride the MXU; the JFIF YCbCr->RGB
+    conversion (BT.601 full-range) is three fused FMAs per pixel. Output
+    matches the RGB path within a couple of 8-bit steps on natural images
+    (chroma travels box-subsampled + bicubic instead of libjpeg's triangle
+    upsample + bicubic).
+    """
+    import jax.numpy as jnp
+
+    yf = y.astype(jnp.float32)
+    yf = jnp.einsum("bsw,bhw->bhs", a_w_y, yf,
+                    preferred_element_type=jnp.float32)
+    yf = jnp.clip(jnp.round(yf), 0.0, 255.0)
+    yf = jnp.einsum("bth,bhs->bts", a_h_y, yf,
+                    preferred_element_type=jnp.float32)
+    yf = jnp.clip(jnp.round(yf), 0.0, 255.0)  # (B, T, T)
+    cf = c.astype(jnp.float32)
+    cf = jnp.einsum("bsw,bhwk->bhsk", a_w_c, cf,
+                    preferred_element_type=jnp.float32)
+    cf = jnp.clip(jnp.round(cf), 0.0, 255.0)
+    cf = jnp.einsum("bth,bhsk->btsk", a_h_c, cf,
+                    preferred_element_type=jnp.float32)
+    cf = jnp.clip(jnp.round(cf), 0.0, 255.0)  # (B, T, T, 2)
+    cb = cf[..., 0] - 128.0
+    cr = cf[..., 1] - 128.0
+    rgb = jnp.stack(
+        [
+            yf + 1.402 * cr,
+            yf - 0.344136 * cb - 0.714136 * cr,
+            yf + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    # quantize like the uint8 RGB the non-planar path would have carried
+    rgb = jnp.clip(jnp.round(rgb), 0.0, 255.0)
+    mean = jnp.asarray(CLIP_IMAGE_MEAN, dtype=jnp.float32) * 255.0
+    std = jnp.asarray(CLIP_IMAGE_STD, dtype=jnp.float32) * 255.0
+    x = (rgb - mean) / std
+    if out_dtype is not None:
+        x = x.astype(out_dtype)
+    return x
+
+
+def device_preprocess_planar_indexed(
+    y, c, a_h_y_u, a_w_y_u, a_h_c_u, a_w_c_u, size_idx, out_dtype=None
+):
+    """device_preprocess_planar with per-UNIQUE-size weight matrices
+    gathered on device by ``size_idx`` (same traffic win as
+    device_preprocess_indexed)."""
+    return device_preprocess_planar(
+        y, c, a_h_y_u[size_idx], a_w_y_u[size_idx], a_h_c_u[size_idx],
+        a_w_c_u[size_idx], out_dtype,
     )
 
 
@@ -172,6 +241,85 @@ def prepare_batch(
         a_h[u] = a_h[0]
         a_w[u] = a_w[0]
     return canvases, a_h, a_w, size_idx
+
+
+def planar_to_rgb_host(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> np.ndarray:
+    """Host fallback: planar 4:2:0 -> (H, W, 3) uint8 RGB (NN chroma
+    upsample + BT.601 full-range). Used only for rare images the planar
+    device path can't take batched (e.g. larger than the canvas ladder's
+    max side, which need the RGB host pre-shrink)."""
+    h, w = y.shape
+    cbu = np.repeat(np.repeat(cb, 2, 0), 2, 1)[:h, :w].astype(np.float32) - 128
+    cru = np.repeat(np.repeat(cr, 2, 0), 2, 1)[:h, :w].astype(np.float32) - 128
+    yf = y.astype(np.float32)
+    rgb = np.stack(
+        [
+            yf + 1.402 * cru,
+            yf - 0.344136 * cbu - 0.714136 * cru,
+            yf + 1.772 * cbu,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def prepare_batch_planar(
+    planes: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    target: int = 224,
+    pad_multiple: int = 64,
+):
+    """Batch of (y, cb, cr) planar 4:2:0 arrays -> device-ready tensors.
+
+    Returns (y_canvas (B, Hp, Wp) u8, c_canvas (B, Hp//2, Wp//2, 2) u8,
+    a_h_y (U, target, Hp) f32, a_w_y (U, target, Wp) f32,
+    a_h_c (U, target, Hp//2) f32, a_w_c (U, target, Wp//2) f32,
+    size_idx (B,) int32) — the planar twin of prepare_batch, drawing every
+    shape from the same ladders. Callers pre-route images above the canvas
+    ladder (``DEFAULT_MAX_SIDE``) to the RGB path (planar_to_rgb_host);
+    this function requires them gone.
+    """
+    for y, cb, cr in planes:
+        h, w = y.shape
+        want = ((h + 1) // 2, (w + 1) // 2)
+        if cb.shape != want or cr.shape != want:
+            raise ValueError(
+                f"chroma {cb.shape} does not match 4:2:0 of luma {(h, w)}"
+            )
+    hp = _pad_dim(max(p[0].shape[0] for p in planes), pad_multiple)
+    wp = _pad_dim(max(p[0].shape[1] for p in planes), pad_multiple)
+    n = len(planes)
+    y_canvas = np.zeros((n, hp, wp), np.uint8)
+    c_canvas = np.zeros((n, hp // 2, wp // 2, 2), np.uint8)
+    sizes: dict[tuple[int, int], int] = {}
+    size_idx = np.zeros(n, np.int32)
+    for i, (y, cb, cr) in enumerate(planes):
+        h, w = y.shape
+        y_canvas[i, :h, :w] = y
+        ch, cw = cb.shape
+        c_canvas[i, :ch, :cw, 0] = cb
+        c_canvas[i, :ch, :cw, 1] = cr
+        size_idx[i] = sizes.setdefault((h, w), len(sizes))
+    u_pad = _next_pow2(len(sizes))
+    a_h_y = np.zeros((u_pad, target, hp), np.float32)
+    a_w_y = np.zeros((u_pad, target, wp), np.float32)
+    a_h_c = np.zeros((u_pad, target, hp // 2), np.float32)
+    a_w_c = np.zeros((u_pad, target, wp // 2), np.float32)
+    for (h, w), u in sizes.items():
+        mh, mw = clip_resize_crop_matrices(h, w, target)
+        a_h_y[u, :, :h] = mh
+        a_w_y[u, :, :w] = mw
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        mhc, mwc = clip_resize_crop_chroma_matrices(h, w, ch, cw, target)
+        a_h_c[u, :, :ch] = mhc
+        a_w_c[u, :, :cw] = mwc
+    for u in range(len(sizes), u_pad):  # pad rows: duplicate row 0
+        a_h_y[u] = a_h_y[0]
+        a_w_y[u] = a_w_y[0]
+        a_h_c[u] = a_h_c[0]
+        a_w_c[u] = a_w_c[0]
+    return y_canvas, c_canvas, a_h_y, a_w_y, a_h_c, a_w_c, size_idx
 
 
 @functools.lru_cache(maxsize=8)

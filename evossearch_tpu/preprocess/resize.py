@@ -76,6 +76,59 @@ def resample_matrix(
     return weights.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=4096)
+def chroma_resample_matrix(
+    full_in: int,
+    chroma_in: int,
+    out_size: int,
+    crop_start: float = 0.0,
+    crop_size: int | None = None,
+) -> np.ndarray:
+    """(crop_size, chroma_in) weights resampling a half-resolution 4:2:0
+    chroma plane straight to the full-resolution resize+crop output grid.
+
+    The planar JPEG path (native decode_jpeg_planar) ships chroma at half
+    the luma resolution; instead of upsampling it first (which would cost
+    the very host->device bytes the planar path saves), the upsample is
+    folded into the resize GEMM. Chroma sample ``i`` sits at full-res
+    coordinate ``2*(i + 0.5)`` (centered 4:2:0 siting), so output pixel
+    ``crop_start + r`` of the luma resize — full-res position
+    ``(crop_start + r + 0.5) * scale`` — lands at chroma-grid position
+    ``.../2``, with the antialias filter stretched by ``scale/2`` (chroma
+    upsamples whenever the luma resize downsamples by less than 2x).
+    """
+    crop_size = out_size if crop_size is None else crop_size
+    scale = full_in / out_size / 2.0
+    filterscale = max(scale, 1.0)
+    support = _SUPPORT * filterscale
+    weights = np.zeros((crop_size, chroma_in), dtype=np.float64)
+    for r in range(crop_size):
+        center = (crop_start + r + 0.5) * scale
+        xmin = max(0, int(center - support + 0.5))
+        xmax = min(chroma_in, int(center + support + 0.5))
+        xs = np.arange(xmin, xmax, dtype=np.float64)
+        w = _cubic_kernel((xs + 0.5 - center) / filterscale)
+        total = w.sum()
+        if total != 0.0:
+            w /= total
+        weights[r, xmin:xmax] = w
+    return weights.astype(np.float32)
+
+
+def clip_resize_crop_chroma_matrices(
+    height: int, width: int, ch: int, cw: int, target: int = 224
+) -> tuple[np.ndarray, np.ndarray]:
+    """Chroma counterparts of clip_resize_crop_matrices: (target, ch) and
+    (target, cw) matrices mapping the half-res chroma planes of an
+    (height, width) image onto the SAME resize+crop output grid as the
+    luma matrices, so ``A_hc @ chroma @ A_wc.T`` aligns pixel-for-pixel
+    with ``A_h @ luma @ A_w.T``."""
+    rh, rw = resized_dims(height, width, target)
+    a_hc = chroma_resample_matrix(height, ch, rh, crop_offset(rh, target), target)
+    a_wc = chroma_resample_matrix(width, cw, rw, crop_offset(rw, target), target)
+    return a_hc, a_wc
+
+
 def clip_resize_crop_matrices(
     height: int, width: int, target: int = 224
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -16,6 +16,16 @@
 //                                          still covers the target) -> RGB8
 //   decode_jpeg_batch([...], min, threads) threaded batch decode, GIL
 //                                          released
+//   decode_jpeg_planar(bytes, min)         same decode but emitting planar
+//                                          Y + 2x2-box-subsampled Cb/Cr
+//                                          (1.5 B/px vs RGB's 3 — halves
+//                                          the host->device upload, the
+//                                          indexing pipeline's bottleneck
+//                                          on relay-attached TPU rigs);
+//                                          color conversion and chroma
+//                                          resampling move onto the MXU
+//                                          (preprocess/pipeline.py)
+//   decode_jpeg_planar_batch([...], ...)   threaded batch planar decode
 //
 // Build: native/build.sh (g++ -O3 -march=native, links libjpeg).
 
@@ -217,6 +227,23 @@ struct DecodedImage {
   char msg[JMSG_LENGTH_MAX] = {0};
 };
 
+// DCT scaling: pick the smallest num/8 scale whose short side still
+// reaches min_short_side (0 = always full size). This is the decode-side
+// half of the preprocess resize — an 8x cheaper decode for big photos.
+void set_dct_scale(jpeg_decompress_struct* cinfo, int min_short_side) {
+  if (min_short_side <= 0) return;
+  unsigned short_side = std::min(cinfo->image_width, cinfo->image_height);
+  unsigned num = 8;
+  for (unsigned cand = 1; cand <= 8; ++cand) {
+    if (short_side * cand / 8 >= (unsigned)min_short_side) {
+      num = cand;
+      break;
+    }
+  }
+  cinfo->scale_num = num;
+  cinfo->scale_denom = 8;
+}
+
 DecodedImage decode_one(const uint8_t* data, size_t len, int min_short_side) {
   DecodedImage out;
   jpeg_decompress_struct cinfo;
@@ -231,22 +258,7 @@ DecodedImage decode_one(const uint8_t* data, size_t len, int min_short_side) {
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, data, (unsigned long)len);
   jpeg_read_header(&cinfo, TRUE);
-
-  // DCT scaling: pick the smallest num/8 scale whose short side still
-  // reaches min_short_side (0 = always full size). This is the decode-side
-  // half of the preprocess resize — an 8x cheaper decode for big photos.
-  if (min_short_side > 0) {
-    unsigned short_side = std::min(cinfo.image_width, cinfo.image_height);
-    unsigned num = 8;
-    for (unsigned cand = 1; cand <= 8; ++cand) {
-      if (short_side * cand / 8 >= (unsigned)min_short_side) {
-        num = cand;
-        break;
-      }
-    }
-    cinfo.scale_num = num;
-    cinfo.scale_denom = 8;
-  }
+  set_dct_scale(&cinfo, min_short_side);
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
 
@@ -264,6 +276,101 @@ DecodedImage decode_one(const uint8_t* data, size_t len, int min_short_side) {
   return out;
 }
 
+// Planar decode: Y at output resolution + Cb/Cr box-subsampled 2x2.
+//
+// The decode runs with out_color_space=JCS_YCbCr (libjpeg skips its
+// YCbCr->RGB conversion entirely) and do_fancy_upsampling=FALSE. For a
+// full-scale 4:2:0 decode, non-fancy h2v2 upsampling replicates each
+// stored chroma sample into an aligned 2x2 block, so the 2x2 box average
+// below recovers the file's ORIGINAL chroma samples bit-exactly; at DCT
+// scales < 8/8 the chroma plane already sits at output resolution (the
+// IDCT scales each component independently) and the box average is an
+// honest 2x downsample. Either way the device resampler sees chroma on
+// the standard centered 4:2:0 grid (sample (i,j) covering output pixels
+// (2i..2i+1, 2j..2j+1)).
+struct PlanarImage {
+  std::vector<uint8_t> y, cb, cr;
+  int height = 0, width = 0, ch = 0, cw = 0;
+  bool planar = false;  // false + ok -> rgb fallback result below
+  DecodedImage rgb;     // used when the source can't ship planar YCbCr
+  bool ok = false;
+  char msg[JMSG_LENGTH_MAX] = {0};
+};
+
+PlanarImage decode_one_planar(const uint8_t* data, size_t len,
+                              int min_short_side) {
+  PlanarImage out;
+  jpeg_decompress_struct cinfo;
+  JpegError err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(err.jump)) {
+    std::snprintf(out.msg, sizeof(out.msg), "%s", err.msg);
+    jpeg_destroy_decompress(&cinfo);
+    return out;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+  if (cinfo.jpeg_color_space != JCS_YCbCr || cinfo.num_components != 3) {
+    // grayscale / CMYK / odd files: RGB path (caller handles both shapes)
+    jpeg_destroy_decompress(&cinfo);
+    out.rgb = decode_one(data, len, min_short_side);
+    out.ok = out.rgb.ok;
+    if (!out.ok) std::snprintf(out.msg, sizeof(out.msg), "%s", out.rgb.msg);
+    return out;
+  }
+  set_dct_scale(&cinfo, min_short_side);
+  cinfo.out_color_space = JCS_YCbCr;
+  cinfo.do_fancy_upsampling = FALSE;
+  jpeg_start_decompress(&cinfo);
+
+  const int w = (int)cinfo.output_width;
+  const int h = (int)cinfo.output_height;
+  out.width = w;
+  out.height = h;
+  out.cw = (w + 1) / 2;
+  out.ch = (h + 1) / 2;
+  const size_t stride = (size_t)w * cinfo.output_components;
+  std::vector<uint8_t> inter((size_t)h * stride);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rowptr = inter.data() + (size_t)cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &rowptr, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  out.y.resize((size_t)h * w);
+  out.cb.resize((size_t)out.ch * out.cw);
+  out.cr.resize((size_t)out.ch * out.cw);
+  for (int i = 0; i < h; i += 2) {
+    const uint8_t* r0 = inter.data() + (size_t)i * stride;
+    // odd height: duplicate the last row (the 2x2 average then equals the
+    // plain 1x2 average of the single available row)
+    const uint8_t* r1 = (i + 1 < h) ? r0 + stride : r0;
+    uint8_t* y0 = out.y.data() + (size_t)i * w;
+    for (int x = 0; x < w; ++x) y0[x] = r0[3 * x];
+    if (i + 1 < h) {
+      uint8_t* y1 = y0 + w;
+      for (int x = 0; x < w; ++x) y1[x] = r1[3 * x];
+    }
+    uint8_t* cbd = out.cb.data() + (size_t)(i / 2) * out.cw;
+    uint8_t* crd = out.cr.data() + (size_t)(i / 2) * out.cw;
+    for (int j = 0; j < w; j += 2) {
+      const int j1 = (j + 1 < w) ? j + 1 : j;  // odd width: duplicate col
+      const int cb = r0[3 * j + 1] + r0[3 * j1 + 1] + r1[3 * j + 1] +
+                     r1[3 * j1 + 1];
+      const int cr = r0[3 * j + 2] + r0[3 * j1 + 2] + r1[3 * j + 2] +
+                     r1[3 * j1 + 2];
+      cbd[j / 2] = (uint8_t)((cb + 2) >> 2);
+      crd[j / 2] = (uint8_t)((cr + 2) >> 2);
+    }
+  }
+  out.planar = true;
+  out.ok = true;
+  return out;
+}
+
 PyObject* decoded_to_py(const DecodedImage& img) {
   if (!img.ok) {
     PyErr_Format(PyExc_ValueError, "JPEG decode failed: %s", img.msg);
@@ -274,6 +381,104 @@ PyObject* decoded_to_py(const DecodedImage& img) {
       (Py_ssize_t)img.rgb.size());
   if (!bytes) return nullptr;
   PyObject* out = Py_BuildValue("iiN", img.height, img.width, bytes);
+  return out;
+}
+
+PyObject* planar_to_py(const PlanarImage& img) {
+  if (!img.ok) {
+    PyErr_Format(PyExc_ValueError, "JPEG decode failed: %s", img.msg);
+    return nullptr;
+  }
+  if (!img.planar) return decoded_to_py(img.rgb);  // 3-tuple (h, w, rgb)
+  PyObject* y = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(img.y.data()), (Py_ssize_t)img.y.size());
+  PyObject* cb = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(img.cb.data()), (Py_ssize_t)img.cb.size());
+  PyObject* cr = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(img.cr.data()), (Py_ssize_t)img.cr.size());
+  if (!y || !cb || !cr) {
+    Py_XDECREF(y);
+    Py_XDECREF(cb);
+    Py_XDECREF(cr);
+    return nullptr;
+  }
+  return Py_BuildValue("iiiiNNN", img.height, img.width, img.ch, img.cw, y,
+                       cb, cr);
+}
+
+PyObject* py_decode_jpeg_planar(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  int min_short_side = 0;
+  if (!PyArg_ParseTuple(args, "y*|i", &buf, &min_short_side)) return nullptr;
+  PlanarImage img;
+  Py_BEGIN_ALLOW_THREADS;
+  img = decode_one_planar(static_cast<const uint8_t*>(buf.buf),
+                          (size_t)buf.len, min_short_side);
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&buf);
+  return planar_to_py(img);
+}
+
+PyObject* py_decode_jpeg_planar_batch(PyObject*, PyObject* args) {
+  PyObject* list;
+  int min_short_side = 0;
+  int nthreads = 0;
+  if (!PyArg_ParseTuple(args, "O|ii", &list, &min_short_side, &nthreads)) {
+    return nullptr;
+  }
+  if (!PyList_Check(list)) {
+    PyErr_SetString(PyExc_TypeError, "expected a list of bytes");
+    return nullptr;
+  }
+  Py_ssize_t count = PyList_GET_SIZE(list);
+  std::vector<std::pair<const uint8_t*, size_t>> inputs((size_t)count);
+  for (Py_ssize_t i = 0; i < count; ++i) {
+    PyObject* item = PyList_GET_ITEM(list, i);
+    char* data;
+    Py_ssize_t len;
+    if (PyBytes_AsStringAndSize(item, &data, &len) != 0) return nullptr;
+    inputs[(size_t)i] = {reinterpret_cast<const uint8_t*>(data), (size_t)len};
+  }
+  if (nthreads <= 0) {
+    nthreads = (int)std::max(1u, std::thread::hardware_concurrency());
+  }
+  nthreads = std::min<int>(nthreads, 16);
+
+  std::vector<PlanarImage> results((size_t)count);
+  Py_BEGIN_ALLOW_THREADS;
+  std::atomic<Py_ssize_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      Py_ssize_t i = next.fetch_add(1);
+      if (i >= count) break;
+      results[(size_t)i] = decode_one_planar(inputs[(size_t)i].first,
+                                             inputs[(size_t)i].second,
+                                             min_short_side);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  Py_END_ALLOW_THREADS;
+
+  PyObject* out = PyList_New(count);
+  if (!out) return nullptr;
+  for (Py_ssize_t i = 0; i < count; ++i) {
+    const PlanarImage& img = results[(size_t)i];
+    PyObject* item;
+    if (img.ok) {
+      item = planar_to_py(img);
+      if (!item) {
+        Py_DECREF(out);
+        return nullptr;
+      }
+    } else {
+      // per-image failure -> None (caller skips, reference oldapp.py:79-80)
+      item = Py_None;
+      Py_INCREF(item);
+    }
+    PyList_SET_ITEM(out, i, item);
+  }
   return out;
 }
 
@@ -364,6 +569,12 @@ PyMethodDef methods[] = {
     {"decode_jpeg_batch", py_decode_jpeg_batch, METH_VARARGS,
      "decode_jpeg_batch(list_of_bytes, min_short_side=0, threads=0) -> "
      "list[(h, w, rgb_bytes) | None]"},
+    {"decode_jpeg_planar", py_decode_jpeg_planar, METH_VARARGS,
+     "decode_jpeg_planar(data, min_short_side=0) -> "
+     "(h, w, ch, cw, y, cb, cr) | (h, w, rgb_bytes) for non-YCbCr sources"},
+    {"decode_jpeg_planar_batch", py_decode_jpeg_planar_batch, METH_VARARGS,
+     "decode_jpeg_planar_batch(list_of_bytes, min_short_side=0, threads=0) "
+     "-> list[(h, w, ch, cw, y, cb, cr) | (h, w, rgb_bytes) | None]"},
     {nullptr, nullptr, 0, nullptr},
 };
 
