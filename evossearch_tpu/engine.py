@@ -81,6 +81,9 @@ class SearchEngine:
         # LRU of text -> device embedding (see _encode_text_device)
         self._text_cache: "OrderedDict[str, object]" = OrderedDict()
         self._text_cache_lock = threading.Lock()
+        # LRU of content-keyed device resample matrices (see _device_mats)
+        self._mat_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._mat_cache_lock = threading.Lock()
         self.timers = StageTimer()
         self.counters = Counters()
 
@@ -234,6 +237,51 @@ class SearchEngine:
         mesh = Mesh(np.array(devices), ("data",))
         return NamedSharding(mesh, PartitionSpec("data"))
 
+    @property
+    def _index_batch(self) -> int:
+        """Images per fused device dispatch in the indexing pipeline —
+        also the encode bucket cap. Bigger than the reference-parity
+        BATCH_SIZE serving default: every dispatch pays the host->device
+        RPC floor and ships the batch's resample matrices."""
+        return self.cfg.INDEX_BATCH or max(self.cfg.BATCH_SIZE, 128)
+
+    def _device_mats(self, mats: tuple) -> tuple:
+        """Device-resident cache of per-batch resample weight matrices.
+
+        Indexing a homogeneous folder re-ships IDENTICAL matrix stacks
+        with every batch (e.g. ~0.8 MB x 48 batches for one source size)
+        — on upload-bound rigs that's pure waste. Key on content (shape +
+        blake2b of the bytes, ~1 ms per MB) and keep a small LRU of
+        device copies; under DP encode the copies are mesh-replicated so
+        they compose with batch-sharded canvases."""
+        import hashlib
+
+        key = tuple(
+            (m.shape, hashlib.blake2b(m.tobytes(), digest_size=16).digest())
+            for m in mats
+        )
+        with self._mat_cache_lock:
+            cached = self._mat_cache.get(key)
+            if cached is not None:
+                self._mat_cache.move_to_end(key)
+                return cached
+        import jax
+
+        sharding = self._encode_sharding
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(sharding.mesh, PartitionSpec())
+            out = tuple(jax.device_put(m, rep) for m in mats)
+        else:
+            out = tuple(jax.device_put(m) for m in mats)
+        with self._mat_cache_lock:
+            self._mat_cache[key] = out
+            self._mat_cache.move_to_end(key)
+            while len(self._mat_cache) > 16:
+                self._mat_cache.popitem(last=False)
+        return out
+
     def encode_prepared(
         self, canvases: np.ndarray, a_h_u: np.ndarray, a_w_u: np.ndarray,
         size_idx: np.ndarray,
@@ -248,7 +296,7 @@ class SearchEngine:
         n = canvases.shape[0]
         if n == 0:
             return np.zeros((0, self.spec.embed_dim), np.float32)
-        b = _bucket(n, max(self.cfg.BATCH_SIZE, 1))
+        b = _bucket(n, max(self._index_batch, 1))
         sharding = self._encode_sharding
         if sharding is not None:
             ndev = len(sharding.mesh.devices)
@@ -260,6 +308,7 @@ class SearchEngine:
                 [canvases, np.zeros((pad,) + canvases.shape[1:], canvases.dtype)]
             )
             size_idx = np.concatenate([size_idx, np.zeros(pad, size_idx.dtype)])
+        a_h_u, a_w_u = self._device_mats((a_h_u, a_w_u))
         out = []
         # Two buckets in flight: fetching each bucket's embeddings
         # synchronously serialized upload -> compute -> fetch per bucket;
@@ -298,7 +347,7 @@ class SearchEngine:
         n = y_canvas.shape[0]
         if n == 0:
             return np.zeros((0, self.spec.embed_dim), np.float32)
-        b = _bucket(n, max(self.cfg.BATCH_SIZE, 1))
+        b = _bucket(n, max(self._index_batch, 1))
         sharding = self._encode_sharding
         if sharding is not None:
             ndev = len(sharding.mesh.devices)
@@ -315,6 +364,9 @@ class SearchEngine:
                  np.zeros((pad,) + c_canvas.shape[1:], c_canvas.dtype)]
             )
             size_idx = np.concatenate([size_idx, np.zeros(pad, size_idx.dtype)])
+        a_h_y, a_w_y, a_h_c, a_w_c = self._device_mats(
+            (a_h_y, a_w_y, a_h_c, a_w_c)
+        )
         out = []
         in_flight: list = []
         with self.timers.stage("prep_encode"):
@@ -436,7 +488,7 @@ class SearchEngine:
                 incremental=incremental,
                 model_name=self.spec.name,
                 dim=self.spec.embed_dim,
-                batch_size=self.cfg.BATCH_SIZE,
+                batch_size=self._index_batch,
                 dtype_name=self.cfg.STORE_DTYPE,
                 extensions=self.cfg.SUPPORTED_EXTENSIONS,
                 index_folder_name=self.cfg.INDEX_FOLDER_NAME,

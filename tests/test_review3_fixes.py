@@ -249,18 +249,20 @@ def test_failed_encode_does_not_leak_producer_thread(tmp_path, monkeypatch):
     from evossearch_tpu.engine import SearchEngine
 
     monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
-    # batch size 2 BEFORE Config snapshots the env: 8 images / batch 2
+    # pipeline batch 2 BEFORE Config snapshots the env: 8 images / batch 2
     # means the producer has batches queued behind the bounded queue when
     # the consumer dies — the scenario the drain logic exists for
-    monkeypatch.setenv("EVOSSEARCH_BATCH_SIZE", "2")
+    monkeypatch.setenv("EVOSSEARCH_INDEX_BATCH", "2")
     eng = SearchEngine(cfg=Config(env_path=None), spec=TINY)
-    assert eng.cfg.BATCH_SIZE == 2
+    assert eng._index_batch == 2
     folder = str(_make_folder(tmp_path, n=8))
 
     def boom(*a, **k):
         raise RuntimeError("device on fire")
 
+    # both batch kinds must die: jpg fixtures ride the planar path
     monkeypatch.setattr(eng, "encode_prepared", boom)
+    monkeypatch.setattr(eng, "encode_prepared_planar", boom)
     with pytest.raises(RuntimeError):
         eng.index_folder(folder)
     import time
