@@ -241,6 +241,103 @@ def test_oversized_planar_reroutes_to_rgb(monkeypatch, tmp_path):
         eng.close()
 
 
+def test_planar_handles_jpeg_variants(tmp_path):
+    """Progressive and 4:4:4 (no chroma subsampling) JPEGs must still
+    decode through the planar path — libjpeg delivers full-res chroma for
+    4:4:4 and the 2x2 box average is then an honest downsample; the
+    embedding-relevant content survives within the usual tolerance."""
+    native = _native_or_skip()
+    img = _smooth()
+    base = tmp_path / "base.jpg"
+    Image.fromarray(img).save(base, quality=90)
+    variants = {
+        "progressive": dict(quality=90, progressive=True),
+        "s444": dict(quality=90, subsampling=0),
+        "s422": dict(quality=90, subsampling=1),
+    }
+    from evossearch_tpu.preprocess import planar_to_rgb_host
+
+    for name, kwargs in variants.items():
+        p = tmp_path / f"{name}.jpg"
+        Image.fromarray(img).save(p, **kwargs)
+        res = native.decode_jpeg_planar(p.read_bytes(), 0)
+        assert len(res) == 7, name
+        h, w, ch, cw, y, cb, cr = res
+        assert (h, w) == img.shape[:2] and (ch, cw) == (120, 160), name
+        rec = planar_to_rgb_host(
+            np.frombuffer(y, np.uint8).reshape(h, w),
+            np.frombuffer(cb, np.uint8).reshape(ch, cw),
+            np.frombuffer(cr, np.uint8).reshape(ch, cw),
+        )
+        h2, w2, rgb = native.decode_jpeg(p.read_bytes(), 0)
+        ref = np.frombuffer(rgb, np.uint8).reshape(h2, w2, 3)
+        d = np.abs(rec.astype(np.int32) - ref.astype(np.int32))
+        assert d.mean() < 1.5, (name, d.mean())
+
+
+def test_prepare_batch_planar_multi_size():
+    """Two source sizes in one batch: per-unique-size matrix stacks with
+    a device gather index — batched output equals per-image output."""
+    import jax.numpy as jnp
+
+    from evossearch_tpu.preprocess import (
+        device_preprocess_planar_indexed,
+        prepare_batch_planar,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def mk(h, w):
+        return (
+            rng.integers(0, 256, (h, w), dtype=np.uint8),
+            rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2), dtype=np.uint8),
+            rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2), dtype=np.uint8),
+        )
+
+    planes = [mk(240, 320), mk(180, 200), mk(240, 320)]
+    batched = np.asarray(
+        device_preprocess_planar_indexed(
+            *[jnp.asarray(x) for x in prepare_batch_planar(planes, 224)]
+        )
+    )
+    assert batched.shape == (3, 224, 224, 3)
+    for i, pl in enumerate(planes):
+        single = np.asarray(
+            device_preprocess_planar_indexed(
+                *[jnp.asarray(x) for x in prepare_batch_planar([pl], 224)]
+            )
+        )[0]
+        np.testing.assert_allclose(batched[i], single, atol=1e-4)
+
+
+def test_device_mats_cache_hits(monkeypatch, tmp_path):
+    """Identical matrix stacks across batches must device_put ONCE (the
+    re-upload waste the cache exists to remove)."""
+    _native_or_skip()
+    from evossearch_tpu.preprocess import prepare_batch_planar
+
+    native = get_native()
+    p = tmp_path / "a.jpg"
+    Image.fromarray(_smooth()).save(p, quality=90)
+    h, w, ch, cw, y, cb, cr = native.decode_jpeg_planar(p.read_bytes(), 224)
+    plane = (
+        np.frombuffer(y, np.uint8).reshape(h, w),
+        np.frombuffer(cb, np.uint8).reshape(ch, cw),
+        np.frombuffer(cr, np.uint8).reshape(ch, cw),
+    )
+    eng = _engine(monkeypatch)
+    try:
+        prep = prepare_batch_planar([plane], 224)
+        eng.encode_prepared_planar(*prep)
+        assert len(eng._mat_cache) == 1
+        first = next(iter(eng._mat_cache.values()))
+        eng.encode_prepared_planar(*prepare_batch_planar([plane], 224))
+        assert len(eng._mat_cache) == 1  # same content -> same entry
+        assert next(iter(eng._mat_cache.values())) is first
+    finally:
+        eng.close()
+
+
 def test_encode_prepared_planar_bucket_padding(monkeypatch, tmp_path):
     """Odd batch sizes pad to the bucket ladder; the pad rows are dropped
     and real rows match the single-image result."""
