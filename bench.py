@@ -56,7 +56,7 @@ def bench_search() -> dict:
     import jax
     import jax.numpy as jnp
 
-    from evossearch_tpu.index.search import best_exact_search_batch, _topk_matvec
+    from evossearch_tpu.index.search import best_exact_search_batch
 
     log(f"devices: {jax.devices()}")
     emb = jax.random.normal(jax.random.key(0), (N_VECTORS, DIM), jnp.float32)
@@ -72,18 +72,22 @@ def bench_search() -> dict:
     # (encode_text), so the steady-state cost is one dispatch + one packed
     # result fetch
     best_exact_search_batch(emb, queries, K)  # compile (pallas one-pass)
-    _sync(_topk_matvec(emb, queries[0], K))
+    best_exact_search_batch(emb, queries[:1], K)  # compile Q=1 shape
 
     floor_ms = _p50(lambda: trivial(zeros))
-    # best_exact_search_batch returns host arrays (its own sync)
+    # best_exact_search_batch returns host arrays (its own sync); its packed
+    # result layout means ONE d2h fetch = one relay round trip — the same
+    # dispatch the serving path issues (scripts/serve_latency.py measures
+    # the full engine search_text wall at ~31ms = floor + ~7ms net).
     batch_ms = _p50(lambda: best_exact_search_batch(emb, queries, K)[0])
-    single_ms = _p50(lambda: _topk_matvec(emb, queries[0], K))
+    single_ms = _p50(lambda: best_exact_search_batch(emb, queries[:1], K)[0])
     per_query = batch_ms / QUERY_BATCH
 
     log(f"RPC dispatch floor (trivial op): p50={floor_ms:.2f}ms")
     log(f"batched {QUERY_BATCH} queries, one dispatch: total p50={batch_ms:.2f}ms "
         f"-> {per_query:.3f} ms/query (N={N_VECTORS}, d={DIM}, k={K})")
-    log(f"single query: wall p50={single_ms:.2f}ms, net of RPC floor="
+    log(f"single query (production packed dispatch, one fetch): "
+        f"wall p50={single_ms:.2f}ms, net of RPC floor="
         f"{max(single_ms - floor_ms, 0.0):.2f}ms")
     return {"per_query_ms": per_query}
 
