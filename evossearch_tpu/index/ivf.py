@@ -438,27 +438,35 @@ class IVFIndex:
 # on their own bucket centroids).
 
 
-def _tune_nprobe(
-    emb: jax.Array, cent: jax.Array, assign: jax.Array,
-    is_spilled: jax.Array, rng, k: int = 48, q_sample: int = 64,
-    target: float = 0.995, noise: float = 0.05,
-) -> int:
-    from .search import exact_search_batch
-
+def sample_tuning_queries(emb, rng, q_sample: int = 64, noise: float = 0.05):
+    """Noise-perturbed corpus rows as calibration queries (perturbed so
+    they do not sit exactly on their own bucket centroids); (Q, d) f32
+    unit-norm device array. Shared by the single-device and mesh-sharded
+    nprobe calibrations."""
     n = emb.shape[0]
-    nlist = cent.shape[0]
-    k = min(k, n)
     q_sample = min(q_sample, n)
-    qidx = jnp.asarray(rng.choice(n, size=q_sample, replace=False))
+    qidx = rng.choice(n, size=q_sample, replace=False)
     key = jax.random.key(int(rng.integers(2**31)))
-    queries = emb[qidx]
+    if isinstance(emb, np.ndarray):
+        # host matrix: gather rows host-side — jnp.asarray(emb) would
+        # device-put the WHOLE corpus just to sample 64 rows
+        queries = jnp.asarray(np.asarray(emb[qidx], dtype=np.float32))
+    else:
+        queries = emb[jnp.asarray(qidx)].astype(jnp.float32)
     queries = queries + noise * jax.random.normal(
         key, queries.shape, jnp.float32
     )
-    queries = queries / jnp.maximum(
+    return queries / jnp.maximum(
         jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12
     )
-    _, exact_i = exact_search_batch(emb, queries, k)
+
+
+def nprobe_from_ranks(
+    cent, assign, is_spilled, queries, exact_i, target: float,
+) -> int:
+    """The shared tail of nprobe calibration: bucket ranks of the true
+    top-k rows -> the target-recall quantile rank (+25% safety margin)."""
+    nlist = cent.shape[0]
     ranks = np.sort(  # spill rows ride as -1: always found, sorted first
         np.asarray(  # np.asarray of a device array is read-only: copy-sort
             _bucket_ranks(
@@ -469,6 +477,20 @@ def _tune_nprobe(
     need = max(1, int(np.ceil(target * ranks.size)))
     nprobe = int(ranks[min(need, ranks.size) - 1]) + 1
     return min(nlist, max(1, -(-nprobe * 5 // 4)))
+
+
+def _tune_nprobe(
+    emb: jax.Array, cent: jax.Array, assign: jax.Array,
+    is_spilled: jax.Array, rng, k: int = 48, q_sample: int = 64,
+    target: float = 0.995, noise: float = 0.05,
+) -> int:
+    from .search import exact_search_batch
+
+    n = emb.shape[0]
+    k = min(k, n)
+    queries = sample_tuning_queries(emb, rng, q_sample, noise)
+    _, exact_i = exact_search_batch(emb, queries, k)
+    return nprobe_from_ranks(cent, assign, is_spilled, queries, exact_i, target)
 
 
 @jax.jit

@@ -1,4 +1,5 @@
 from .mesh import CORPUS_AXIS, corpus_mesh
 from .sharded_search import ShardedIndex
+from .sharded_ivf import ShardedIVFIndex
 
-__all__ = ["CORPUS_AXIS", "corpus_mesh", "ShardedIndex"]
+__all__ = ["CORPUS_AXIS", "corpus_mesh", "ShardedIndex", "ShardedIVFIndex"]
