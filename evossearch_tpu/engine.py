@@ -738,12 +738,14 @@ class SearchEngine:
                 need = 3 * self._corpus_device_bytes(reader)
             else:
                 need = self._corpus_device_bytes(reader)
-                if self._resolve_kernel() == "sharded":
-                    import jax
+            if self._resolve_kernel() == "sharded":
+                # budget is per chip: sharded exact AND sharded IVF both
+                # split their corpus-sized tensors over the mesh
+                import jax
 
-                    need //= max(
-                        self.cfg.MESH_DEVICES or len(jax.devices()), 1
-                    )
+                need //= max(
+                    self.cfg.MESH_DEVICES or len(jax.devices()), 1
+                )
             fits = budget is None or need <= budget
             if not fits:
                 log.warning(
@@ -781,7 +783,7 @@ class SearchEngine:
                 if not other["lock"].acquire(blocking=False):
                     continue
                 try:
-                    for field in ("emb", "sharded", "ivf"):
+                    for field in ("emb", "sharded", "ivf", "sharded_ivf"):
                         other.pop(field, None)
                     total -= other["device_bytes"]
                     other["device_bytes"] = 0
@@ -875,6 +877,74 @@ class SearchEngine:
                     self._release_device_bytes(entry, need)
                     raise
                 entry["ivf"] = ivf
+        return ivf
+
+    def _entry_ivf_any(self, entry, reader):
+        """The IVF for the resolved kernel: mesh-sharded buckets when the
+        kernel is 'sharded' (the over-one-chip deployment IVF exists
+        for), single-device otherwise. Both expose the same
+        search/search_batch contract."""
+        if self._resolve_kernel() == "sharded":
+            return self._entry_sharded_ivf(entry, reader)
+        return self._entry_ivf(entry, reader)
+
+    def _entry_sharded_ivf(self, entry, reader):
+        ivf = entry.get("sharded_ivf")
+        if ivf is not None:
+            return ivf
+        with entry["lock"]:
+            ivf = entry.get("sharded_ivf")
+            if ivf is None:
+                from .parallel import corpus_mesh
+
+                mesh = corpus_mesh(self.cfg.MESH_DEVICES)
+                # ~(1 + bucket_factor) x corpus at the store dtype,
+                # divided over the mesh (budget is per chip)
+                need = 3 * self._corpus_device_bytes(reader) // max(
+                    int(mesh.devices.size), 1
+                )
+                self._reserve_device_bytes(entry, need)
+                try:
+                    ivf = self._load_or_build_sharded_ivf(
+                        entry, reader, mesh
+                    )
+                except BaseException:
+                    self._release_device_bytes(entry, need)
+                    raise
+                entry["sharded_ivf"] = ivf
+        return ivf
+
+    def _load_or_build_sharded_ivf(self, entry, reader, mesh):
+        """Mesh-sharded IVF with its own sidecar (`ivf_mesh{S}.npz` — the
+        per-shard layout is mesh-size-specific; ShardedIVFIndex.load
+        rejects a size mismatch). Same staleness rules as the
+        single-device sidecar."""
+        from .parallel import ShardedIVFIndex
+
+        n_dev = int(mesh.devices.size)
+        ivf_path = reader.root / f"ivf_mesh{n_dev}.npz"
+        ivf = None
+        if (
+            ivf_path.exists()
+            and ivf_path.stat().st_mtime >= entry["mtime"]
+        ):
+            ivf = ShardedIVFIndex.load(ivf_path, mesh=mesh)
+            if ivf is not None and (
+                ivf.n != reader.count
+                or ivf.nlist != self._ivf_want_nlist(reader)
+            ):
+                ivf = None
+        if ivf is None:
+            ivf = ShardedIVFIndex.build(
+                np.asarray(reader.embeddings()),
+                mesh=mesh,
+                nlist=self.cfg.IVF_NLIST,
+                pre_normalized=True,
+            )
+            try:
+                ivf.save(ivf_path)
+            except OSError:
+                pass  # persistence is an optimization only
         return ivf
 
     def _load_or_build_ivf(self, entry, reader):
@@ -1044,7 +1114,7 @@ class SearchEngine:
         )
 
         if self.cfg.INDEX_KIND == "ivf":
-            return self._entry_ivf(entry, reader).search_batch(
+            return self._entry_ivf_any(entry, reader).search_batch(
                 queries, k, nprobe=self.cfg.IVF_NPROBE
             )
         kernel = self._resolve_kernel()
@@ -1111,14 +1181,14 @@ class SearchEngine:
                     # first-touch build (chunked k-means, tens of seconds
                     # at 1M rows) inside the single batcher worker would
                     # head-of-line block every other folder's searches.
-                    self._entry_ivf(entry, reader)
+                    self._entry_ivf_any(entry, reader)
                     scores, idx = self._batcher.submit(
                         _canon(folder), query, k
                     )
                     valid = idx >= 0
                     scores, idx = scores[valid], idx[valid]
                 else:
-                    scores, idx = self._entry_ivf(entry, reader).search(
+                    scores, idx = self._entry_ivf_any(entry, reader).search(
                         query, k, nprobe=self.cfg.IVF_NPROBE
                     )
             else:

@@ -69,6 +69,38 @@ def test_ivf_index_kind(indexed_folder, monkeypatch):
     assert len(s) == 10 and len(set(i.tolist())) == 10
 
 
+def test_ivf_sharded_kernel(indexed_folder, monkeypatch):
+    """INDEX_KIND=ivf + SEARCH_KERNEL=sharded serves the mesh-sharded IVF
+    (per-shard buckets, ICI merge), persists its mesh-size-specific
+    sidecar, and a fresh engine reloads it without rebuilding."""
+    eng = _engine(monkeypatch, kernel="sharded", index_kind="ivf")
+    q = eng.encode_text("x")
+    s, i, reader = eng.search_embedding(str(indexed_folder), q, 10)
+    assert len(s) == 10 and len(set(i.tolist())) == 10
+    entry, _ = eng._cached_index(str(indexed_folder))
+    from evossearch_tpu.parallel import ShardedIVFIndex
+
+    assert isinstance(entry.get("sharded_ivf"), ShardedIVFIndex)
+    assert (reader.root / "ivf_mesh8.npz").exists()
+
+    # agreement with the exact sharded kernel on the same store
+    exact = _engine(monkeypatch, kernel="sharded")
+    es, ei, _ = exact.search_embedding(str(indexed_folder), q, 10)
+    assert set(i.tolist()) == set(ei.tolist())  # 10-row corpus: full recall
+
+    # a fresh engine must LOAD the sidecar, never rebuild
+    eng2 = _engine(monkeypatch, kernel="sharded", index_kind="ivf")
+    monkeypatch.setattr(
+        ShardedIVFIndex, "build",
+        classmethod(lambda *a, **k: pytest.fail("rebuilt despite sidecar")),
+    )
+    s2, i2, _ = eng2.search_embedding(str(indexed_folder), q, 10)
+    np.testing.assert_array_equal(i2, i)
+    eng.close()
+    eng2.close()
+    exact.close()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
 
