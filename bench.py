@@ -464,8 +464,8 @@ def bench_ivf_10m() -> None:
     log(f"IVF@10M bf16 one-chip: steady {steady / 2**30:.1f} GB + build "
         f"peak {peak / 2**30:.1f} GB vs HBM limit "
         f"{limit_s} -> infeasible on one chip "
-        f"(exact sweeps it in-place; IVF at this scale belongs to the "
-        f"sharded mesh or the host)")
+        f"(exact sweeps it in-place; IVF at this scale runs mesh-sharded "
+        f"— parallel/sharded_ivf.py, dryrun-verified — or on the host)")
 
     # -- 2: largest feasible on-chip scale, head-to-head ----------------
     n, n_clusters, chunk = 3_000_000, 1732, 250_000
