@@ -13,8 +13,9 @@ splits the pipeline per scale:
   exactmerge   variant: blocked_top_k over the candidates + lexsort +
                counting certificate (no ApproxTopK, one fewer cand sweep)
 
-Run: PYTHONPATH=/root/repo python scripts/exp_tree_breakdown.py
-(never kill a TPU-attached process on this rig; run to completion)
+Run: PYTHONPATH="/root/repo:$PYTHONPATH" python scripts/exp_tree_breakdown.py
+(keep the existing PYTHONPATH — it registers the axon TPU plugin via
+sitecustomize; never kill a TPU-attached process on this rig)
 """
 
 from __future__ import annotations
@@ -47,12 +48,9 @@ def p50(fn, iters=11):
 def main():
     import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     from evossearch_tpu.ops.topk_pallas import (
-        LANES, NEG_INF, _tree_candidates, _tree_tile_rows,
-        _TREE_FETCH_PAD,
+        LANES, _tree_candidates, _tree_tile_rows, _TREE_FETCH_PAD,
     )
     from evossearch_tpu.index.search import (
         _pallas_topk_packed, blocked_top_k,
@@ -66,34 +64,14 @@ def main():
     def floor():
         return p50(lambda: trivial(z), iters=9)
 
-    # matmul + per-tile running max only: the DMA/MXU speed-of-light probe
-    def make_sweep(n, d, tile, compute_dtype):
-        def kernel(q_ref, e_ref, out_ref):
-            q = q_ref[:].astype(compute_dtype)
-            s = jax.lax.dot_general(
-                q, e_ref[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            out_ref[:] = jnp.max(s, axis=1, keepdims=True)
+    # matmul + per-256-row-block max only (the block kernel at levels=1):
+    # the DMA/MXU speed-of-light probe (same probe as exp_topk_variants)
+    from evossearch_tpu.ops.topk_pallas import _block_candidates
 
-        grid = pl.cdiv(n, tile)
-        return pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((LANES, d), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, d), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((LANES, 1), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((LANES, grid), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-        )
+    @jax.jit
+    def sweep(emb, qp):
+        _, _, cert = _block_candidates(emb, qp, False, levels=1)
+        return cert.sum()
 
     @functools.partial(jax.jit, static_argnames=("n", "chunks", "dtype"))
     def gen(n, chunks, dtype):
@@ -161,18 +139,16 @@ def main():
         qs = qs / jnp.linalg.norm(qs, axis=1, keepdims=True)
         qp = jnp.concatenate([qs, jnp.zeros((LANES - K, D), jnp.float32)])
         tile = _tree_tile_rows(emb.dtype)
-        compute_dtype = emb.dtype if emb.dtype == jnp.bfloat16 else jnp.float32
 
-        sweep = make_sweep(n, D, tile, compute_dtype)
         kernel_only = make_kernel_only(tile)
         # warm all
-        np.asarray(sweep(qp, emb)[0, 0])
+        np.asarray(sweep(emb, qp))
         np.asarray(kernel_only(emb, qp))
         np.asarray(_pallas_topk_packed(emb, qs, K, False, True)[0, 0])
         np.asarray(tree_exactmerge_packed(emb, qs, K)[0, 0])
 
         fl = floor()
-        t_sweep = p50(lambda: sweep(qp, emb)) - fl
+        t_sweep = p50(lambda: sweep(emb, qp)) - fl
         t_kernel = p50(lambda: kernel_only(emb, qp)) - fl
         t_e2e = p50(lambda: _pallas_topk_packed(emb, qs, K, False, True)) - fl
         t_exact = p50(lambda: tree_exactmerge_packed(emb, qs, K)) - fl
