@@ -45,6 +45,11 @@ def test_engine_persists_and_reuses_ivf(tmp_path, monkeypatch):
         ).save(tmp_path / f"i{i}.jpg")
     monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
     monkeypatch.setenv("EVOSSEARCH_INDEX_KIND", "ivf")
+    # Pin the single-device kernel: under the forced 8-device test mesh
+    # "auto" resolves to "sharded", which routes INDEX_KIND=ivf to the
+    # mesh-sharded IVF and its own sidecar (ivf_mesh8.npz — covered by
+    # test_engine_kernels). This test pins the SINGLE-DEVICE sidecar.
+    monkeypatch.setenv("EVOSSEARCH_SEARCH_KERNEL", "best")
     eng = SearchEngine(cfg=Config(env_path=None), spec=TINY)
     assert eng.index_folder(str(tmp_path)) == 8
     q = eng.encode_text("x")
