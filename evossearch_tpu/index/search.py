@@ -75,6 +75,17 @@ def blocked_top_k(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return fs, gidx.reshape(-1)[fp]
 
 
+def sort_by_score_then_index(cand_s: jax.Array, cand_i: jax.Array, k: int):
+    """Order (Q, C) candidate rows by (score desc, index asc) and keep the
+    first k: ONE batched two-key lax.sort over the VALUES. Equivalent to
+    the per-query ``jnp.lexsort((i, -s))`` + two gathers this replaces
+    (indices are unique per row, so the orders are identical), but without
+    the iota payload, the vmap, and the take_along_axis pair. Score
+    negation is exact in f32, so the sort keys are bit-faithful."""
+    neg_s, top_i = jax.lax.sort((-cand_s, cand_i), dimension=1, num_keys=2)
+    return -neg_s[:, :k], top_i[:, :k]
+
+
 def _certified_topk(scores: jax.Array, k: int):
     """Exact top-k over (Q, N) scores via certified ApproxTopK.
 
@@ -110,11 +121,7 @@ def _certified_topk(scores: jax.Array, k: int):
     gt = jnp.sum(scores > m[:, None], axis=1)
     cand_gt = jnp.sum(cand_s > m[:, None], axis=1)
 
-    def per_query(s, i):
-        order = jnp.lexsort((i, -s))[:k]
-        return s[order], i[order]
-
-    top_s, top_i = jax.vmap(per_query)(cand_s, cand_i)
+    top_s, top_i = sort_by_score_then_index(cand_s, cand_i, k)
     s_k = top_s[:, -1]
     ok = (ge == c) | ((gt == cand_gt) & (s_k > m))
     return ok, top_s, top_i

@@ -635,12 +635,9 @@ def fused_topk_batch_tree(
         cand_s, fetch, recall_target=0.999, aggregate_to_topk=True
     )
     ci = jnp.take_along_axis(cand_i, cpos, axis=1)
+    from ..index.search import sort_by_score_then_index  # jax-only, no cycle
 
-    def per_query(s, i):
-        order = jnp.lexsort((i, -s))[:kk]
-        return s[order], i[order]
-
-    top_s, top_i = jax.vmap(per_query)(cs, ci)
+    top_s, top_i = sort_by_score_then_index(cs, ci, kk)
     m = top_s[:, kk - 1]
     # Certificates (either failing -> caller's exact fallback):
     #  (1) merge: every candidate scoring >= m was fetched — counts over

@@ -46,7 +46,7 @@ from .mesh import CORPUS_AXIS, corpus_mesh
 from ..index.ivf import (
     NEG_INF, _assign, _kmeans, nprobe_from_ranks, sample_tuning_queries,
 )
-from ..index.search import blocked_top_k
+from ..index.search import blocked_top_k, sort_by_score_then_index
 
 # Queries per vmapped sub-batch inside the shard_map body — bounds the
 # per-device probed-bucket gather at (chunk, nprobe, cap, d) like
@@ -99,12 +99,7 @@ def _sharded_ivf_body(k: int, nprobe: int):
         cand_s = all_s.transpose(1, 0, 2).reshape(nq, -1)
         cand_i = all_i.transpose(1, 0, 2).reshape(nq, -1)
         kout = min(k, cand_s.shape[1])
-
-        def per_query(s_row, i_row):
-            order = jnp.lexsort((i_row, -s_row))[:kout]
-            return s_row[order], i_row[order]
-
-        return jax.vmap(per_query)(cand_s, cand_i)
+        return sort_by_score_then_index(cand_s, cand_i, kout)
 
     return local
 

@@ -112,7 +112,9 @@ def _sharded_topk_certified(emb, counts, queries, k: int, mesh: Mesh):
     the ApproxTopK at multi-million-row shards (BASELINE config 3: 10M
     exact, mesh-sharded).
     """
-    from ..index.search import _overfetch, _score_precision
+    from ..index.search import (
+        _overfetch, _score_precision, sort_by_score_then_index,
+    )
 
     def local(emb_ref, counts_ref, qs):
         rows = emb_ref.shape[0]
@@ -145,12 +147,7 @@ def _sharded_topk_certified(emb, counts, queries, k: int, mesh: Mesh):
         all_m = jax.lax.all_gather(m, CORPUS_AXIS)  # (S, Q)
         flat_s = all_s.transpose(1, 0, 2).reshape(nq, -1)
         flat_i = all_i.transpose(1, 0, 2).reshape(nq, -1)
-
-        def per_query(s, i):
-            order = jnp.lexsort((i, -s))[:k]
-            return s[order], i[order]
-
-        top_s, top_i = jax.vmap(per_query)(flat_s, flat_i)
+        top_s, top_i = sort_by_score_then_index(flat_s, flat_i, k)
         s_k = top_s[:, -1]
         shard_ok = cert_a | (cert_b & (s_k[None, :] > all_m))
         ok = jnp.all(shard_ok, axis=0)
