@@ -128,3 +128,32 @@ def test_best_kernel_routes_small_corpora_to_xla(monkeypatch):
     s, i = search_mod.best_exact_search_batch(emb, qs, 10)
     es, ei = search_mod.exact_search_batch(emb, qs, 10)
     np.testing.assert_array_equal(i, ei)
+
+
+def test_sort_by_score_then_index_equals_lexsort():
+    """The batched two-key value sort that replaced the per-query
+    jnp.lexsort in every device merge must order identically on
+    adversarial inputs: exact ties, duplicate (s, i) pairs, NEG_INF
+    padding, and k larger than the candidate width."""
+    import jax.numpy as jnp
+
+    from evossearch_tpu.index.search import sort_by_score_then_index
+    from evossearch_tpu.ops.topk_pallas import NEG_INF
+
+    rng = np.random.default_rng(3)
+    q, c = 7, 33
+    s = rng.choice([0.5, 0.25, -0.125, NEG_INF], size=(q, c)).astype(
+        np.float32
+    )
+    i = rng.permutation(q * c).reshape(q, c).astype(np.int32)
+    i[2, 5] = i[2, 9]  # duplicate index with equal score -> value-equal
+    s[2, 5] = s[2, 9]
+    for k in (1, 5, c, c + 3):
+        kk = min(k, c)
+        ts, ti = sort_by_score_then_index(jnp.asarray(s), jnp.asarray(i), k)
+        ts, ti = np.asarray(ts), np.asarray(ti)
+        assert ts.shape == (q, kk) and ti.shape == (q, kk)
+        for row in range(q):
+            order = np.lexsort((i[row], -s[row]))[:kk]
+            np.testing.assert_array_equal(ts[row], s[row][order])
+            np.testing.assert_array_equal(ti[row], i[row][order])
