@@ -587,7 +587,27 @@ def warmup_backend() -> None:
     import jax.numpy as jnp
 
     t0 = time.perf_counter()
-    _sync(jax.jit(lambda x: x + 1.0)(jnp.zeros((8,))))
+    for attempt in range(3):
+        try:
+            _sync(jax.jit(lambda x: x + 1.0)(jnp.zeros((8,))))
+            break
+        except Exception as e:
+            # Relay hard-down (backend init UNAVAILABLE after ~25 min of
+            # claim retries). The failure is cached on the backend object,
+            # so clear it and re-attempt after a pause — a flapping relay
+            # often comes back, and losing the round's artifact to a
+            # transient outage is worse than a slow bench.
+            if attempt == 2:
+                raise
+            log(f"backend warmup attempt {attempt + 1} failed: {e}; "
+                f"clearing backends and retrying in 120s")
+            try:
+                import jax.extend.backend as _jeb
+
+                _jeb.clear_backends()
+            except Exception:
+                pass
+            time.sleep(120)
     log(f"backend warmup (first dispatch incl relay claim): "
         f"{time.perf_counter() - t0:.1f}s")
 
