@@ -185,15 +185,11 @@ def main():
              ok[:, None].astype(jnp.float32)], axis=1,
         )
 
-    # a3: sort-free ordering — top_k on scores, then repair the tie order
-    # by, per selected rank, taking the MIN index among equal-score
-    # candidates not yet consumed. Implemented as: sort fetched rows by
-    # (-s) via top_k (position ties arbitrary), then a k-wide segmented
-    # min-scan per equal-score run using one extra lax.sort on the small
-    # (q, k) result only.
-    @jax.jit
-    def alt_smallsort(emb, qp):
-        tile = _tree_tile_rows(emb.dtype)
+    # a3: ordering via ONE batched two-key lax.sort over the fetched
+    # values (== the sort_by_score_then_index now in production), with a
+    # tile override to sweep tile size at fixed merge structure.
+    @functools.partial(jax.jit, static_argnames=("tile",))
+    def alt_smallsort_tile(emb, qp, tile):
         m1, m2, m3, i1, i2 = _tree_candidates(emb, qp, tile, False)
         cand_s = jnp.concatenate([m1[:Q], m2[:Q]], axis=1)
         cand_i = jnp.concatenate([i1[:Q], i2[:Q]], axis=1)
@@ -229,29 +225,47 @@ def main():
         qp = jnp.concatenate([qs, jnp.zeros((LANES - Q, D), jnp.float32)])
         tile = _tree_tile_rows(emb.dtype)
 
+        # tile sweep only makes sense where multiple tiles certify
+        tiles = (8192, 16384) if dtype == jnp.bfloat16 else (tile,)
+
         stages = [make_stage(s, tile) for s in range(6)]
         for f in stages:
             np.asarray(f(emb, qp))
         np.asarray(_pallas_topk_packed(emb, qs, K, False, True)[0, 0])
-        for f in (alt_split, alt_topk, alt_smallsort):
+        for f in (alt_split, alt_topk):
             np.asarray(f(emb, qp)[0, 0])
+        for t in tiles:
+            np.asarray(alt_smallsort_tile(emb, qp, t)[0, 0])
 
         fl = floor()
         ts = [p50(lambda f=f: f(emb, qp)) - fl for f in stages]
         t_prod = p50(lambda: _pallas_topk_packed(emb, qs, K, False, True)) - fl
         t_a1 = p50(lambda: alt_split(emb, qp)) - fl
         t_a2 = p50(lambda: alt_topk(emb, qp)) - fl
-        t_a3 = p50(lambda: alt_smallsort(emb, qp)) - fl
+        t_a3 = {
+            t: p50(lambda t=t: alt_smallsort_tile(emb, qp, t)) - fl
+            for t in tiles
+        }
 
         ref = np.asarray(_pallas_topk_packed(emb, qs, K, False, True))
+        checks = [("a1", lambda: alt_split(emb, qp)),
+                  ("a2", lambda: alt_topk(emb, qp))]
+        checks += [
+            (f"a3/t{t}", lambda t=t: alt_smallsort_tile(emb, qp, t))
+            for t in tiles
+        ]
         ok_rates = {}
-        for name, f in (("a1", alt_split), ("a2", alt_topk),
-                        ("a3", alt_smallsort)):
-            out = np.asarray(f(emb, qp))
+        for name, f in checks:
+            out = np.asarray(f())
             ok_rates[name] = float((out[:, -1] > 0).mean())
             both = (out[:, -1] > 0) & (ref[:, -1] > 0)
             same = np.allclose(out[both, : 2 * K], ref[both, : 2 * K])
             ok_rates[name + "_match"] = bool(same)
+        a3_lines = "\n".join(
+            f"  a3 valsort t={t:<6} {t_a3[t]:.2f}  {ok_rates[f'a3/t{t}']:.3f}"
+            f" match={ok_rates[f'a3/t{t}_match']}"
+            for t in tiles
+        )
         log(
             f"N={n} {jnp.dtype(dtype).name} tile={tile}: floor={fl:.2f}\n"
             f"  s0 kernel     {ts[0]:.2f}\n"
@@ -260,13 +274,12 @@ def main():
             f"  s3 +lexsort   {ts[3]:.2f}  (+{ts[3]-ts[2]:.2f})\n"
             f"  s4 +certs     {ts[4]:.2f}  (+{ts[4]-ts[3]:.2f})\n"
             f"  s5 +pack      {ts[5]:.2f}  (+{ts[5]-ts[4]:.2f})\n"
-            f"  production    {t_prod:.2f}\n"
+            f"  production    {t_prod:.2f}  (valsort merge)\n"
             f"  a1 split      {t_a1:.2f}  {ok_rates['a1']:.3f} "
             f"match={ok_rates['a1_match']}\n"
             f"  a2 topk       {t_a2:.2f}  {ok_rates['a2']:.3f} "
             f"match={ok_rates['a2_match']}\n"
-            f"  a3 smallsort  {t_a3:.2f}  {ok_rates['a3']:.3f} "
-            f"match={ok_rates['a3_match']}"
+            f"{a3_lines}"
         )
         del emb
 
