@@ -363,3 +363,36 @@ def test_encode_prepared_planar_bucket_padding(monkeypatch, tmp_path):
         np.testing.assert_allclose(out3[0], out1[0], atol=2e-5)
     finally:
         eng.close()
+
+
+def test_raw420_decode_matches_rgb_oracle_on_sharp_geometries(tmp_path):
+    """The raw-coefficient 4:2:0 fast path (native decode_jpeg_planar) on
+    its sharpest geometries: odd iMCU block heights (the bitstream ships
+    dummy padding blocks whose rows read_raw_data delivers — an
+    undersized plane buffer would corrupt the last real rows), odd
+    dims, and DCT-scaled decode. Planar reconstruct must stay close to
+    the RGB decode of the same file, and the Y plane edge rows must not
+    be padding garbage (mean |d| blows past any upsampling tolerance if
+    they are)."""
+    native = _native_or_skip()
+    from evossearch_tpu.preprocess import planar_to_rgb_host
+
+    for hh, ww in ((152, 224), (147, 640), (149, 151), (101, 133)):
+        p = tmp_path / f"s{hh}x{ww}.jpg"
+        Image.fromarray(_smooth(hh, ww)).save(p, quality=90)
+        data = p.read_bytes()
+        for mss in (0, 96):
+            h, w, ch, cw, y, cb, cr = native.decode_jpeg_planar(data, mss)
+            assert (ch, cw) == ((h + 1) // 2, (w + 1) // 2)
+            rec = planar_to_rgb_host(
+                np.frombuffer(y, np.uint8).reshape(h, w),
+                np.frombuffer(cb, np.uint8).reshape(ch, cw),
+                np.frombuffer(cr, np.uint8).reshape(ch, cw),
+            )
+            h2, w2, rgb = native.decode_jpeg(data, mss)
+            assert (h2, w2) == (h, w)
+            ref = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+            d = np.abs(rec.astype(np.int32) - ref.astype(np.int32))
+            assert d.mean() < 2.0, (hh, ww, mss, d.mean())
+            # last rows specifically (where padding corruption would land)
+            assert d[-3:].mean() < 6.0, (hh, ww, mss, d[-3:].mean())
