@@ -415,7 +415,7 @@ def _tree_tile_rows(dtype) -> int:
 
 
 def _make_tree_kernel(n: int, d: int, compute_dtype, tile_rows: int):
-    def kernel(q_ref, e_ref, m1_ref, m2_ref, m3_ref, i1_ref, i2_ref):
+    def kernel(q_ref, e_ref, cs_ref, ci_ref, m3_ref):
         i = pl.program_id(0)
         q = q_ref[:].astype(compute_dtype)
         precision = (
@@ -497,11 +497,16 @@ def _make_tree_kernel(n: int, d: int, compute_dtype, tile_rows: int):
                 sb = tuple(x if x is None else x[:, h:] for x in state)
                 state = merge(sa, sb)
             m1, i1, m2, i2, m3 = state
-            m1_ref[:] = m1
-            m2_ref[:] = m2
+            # Candidates ship PRE-PACKED: tile i owns the 256-column block
+            # [m1_tile | m2_tile], so the caller's merge consumes one
+            # (LANES, grid*256) score array + one index array directly —
+            # no post-kernel slices or concats (the merge's final sort is
+            # index-aware, so candidate position order is free).
+            cs_ref[:, :TREE_CLASSES] = m1
+            cs_ref[:, TREE_CLASSES:] = m2
+            ci_ref[:, :TREE_CLASSES] = i1 + base  # global row ids
+            ci_ref[:, TREE_CLASSES:] = i2 + base
             m3_ref[:] = m3
-            i1_ref[:] = i1 + base  # global row ids
-            i2_ref[:] = i2 + base
 
         if n % tile_rows == 0:
             run(mask_tail=False)
@@ -523,20 +528,27 @@ def _tree_candidates(
     emb: jax.Array, queries_padded: jax.Array, tile_rows: int, interpret: bool
 ):
     """One-pass tree kernel: per (tile, residue class) top-2 scores +
-    global indices + 3rd-best bound. Outputs are query-major
-    (LANES, grid*128) — tile i writes column block i — so the merge
-    consumes them directly with no post-kernel transpose."""
+    global indices + 3rd-best bound. Outputs are query-major and
+    PRE-PACKED — candidate scores (LANES, grid*256) and indices
+    (LANES, grid*256), tile i writing column block i as
+    [top-1 classes | top-2 classes], plus the (LANES, grid*128)
+    certification bound — so the merge consumes them directly with no
+    post-kernel transpose, slice, or concat."""
     n, d = emb.shape
     if d % LANES:
         raise ValueError(f"d={d} must be a multiple of {LANES}")
     if tile_rows < 512 or tile_rows & (tile_rows - 1):
         raise ValueError(f"tile_rows={tile_rows} must be a power of two >= 512")
     grid = pl.cdiv(n, tile_rows)
-    out_block = pl.BlockSpec(
+    cand_block = pl.BlockSpec(
+        (LANES, 2 * TREE_CLASSES), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    cert_block = pl.BlockSpec(
         (LANES, TREE_CLASSES), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    f32 = jax.ShapeDtypeStruct((LANES, grid * TREE_CLASSES), jnp.float32)
-    i32 = jax.ShapeDtypeStruct((LANES, grid * TREE_CLASSES), jnp.int32)
+    cand_f32 = jax.ShapeDtypeStruct((LANES, grid * 2 * TREE_CLASSES), jnp.float32)
+    cand_i32 = jax.ShapeDtypeStruct((LANES, grid * 2 * TREE_CLASSES), jnp.int32)
+    cert_f32 = jax.ShapeDtypeStruct((LANES, grid * TREE_CLASSES), jnp.float32)
     compute_dtype = emb.dtype if emb.dtype == jnp.bfloat16 else jnp.float32
     return pl.pallas_call(
         _make_tree_kernel(n, d, compute_dtype, tile_rows),
@@ -547,8 +559,8 @@ def _tree_candidates(
                 (tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=(out_block,) * 5,
-        out_shape=(f32, f32, f32, i32, i32),
+        out_specs=(cand_block, cand_block, cert_block),
+        out_shape=(cand_f32, cand_i32, cert_f32),
         cost_estimate=pl.CostEstimate(
             flops=2 * LANES * n * d,
             bytes_accessed=n * d * emb.dtype.itemsize,
@@ -614,16 +626,17 @@ def fused_topk_batch_tree(
             [queries, jnp.zeros((LANES - q, d), jnp.float32)]
         )
     tile_rows = _tree_tile_rows(emb.dtype)
-    m1, m2, m3, i1, i2 = _tree_candidates(emb, queries, tile_rows, interpret)
-    # Plain concatenation (NOT index-interleaved): the lexsort below is
-    # index-aware, so candidate position order is free to be arbitrary.
-    # Slice to the q REAL query rows first: the kernel fills all LANES
-    # lanes (MXU shape), but the ApproxTopK merge + the two counting
-    # certificates below each sweep the (rows, ~2N/128) f32 candidate
-    # tensor — at 10M rows that is ~160 MB per sweep, and padding lanes
-    # would pay 2.6x of it for nothing at the serving batch of 48.
-    cand_s = jnp.concatenate([m1[:q], m2[:q]], axis=1)
-    cand_i = jnp.concatenate([i1[:q], i2[:q]], axis=1)
+    cs_all, ci_all, m3 = _tree_candidates(emb, queries, tile_rows, interpret)
+    # Candidates arrive pre-packed, tile-major (NOT index-interleaved):
+    # the final sort below is index-aware, so candidate position order is
+    # free to be arbitrary. Slice to the q REAL query rows first: the
+    # kernel fills all LANES lanes (MXU shape), but the ApproxTopK merge
+    # + the two counting certificates below each sweep the
+    # (rows, ~2N/128) f32 candidate tensor — at 10M rows that is ~160 MB
+    # per sweep, and padding lanes would pay 2.6x of it for nothing at
+    # the serving batch of 48.
+    cand_s = cs_all[:q]
+    cand_i = ci_all[:q]
     cert = m3[:q]
     c_total = cand_s.shape[1]
     kk = min(k, c_total)

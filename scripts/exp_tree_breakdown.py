@@ -96,9 +96,9 @@ def main():
                 [qp, jnp.zeros((LANES - q, D), jnp.float32)]
             )
         tile = _tree_tile_rows(emb.dtype)
-        m1, m2, m3, i1, i2 = _tree_candidates(emb, qp, tile, False)
-        cand_s = jnp.concatenate([m1[:q], m2[:q]], axis=1)
-        cand_i = jnp.concatenate([i1[:q], i2[:q]], axis=1)
+        cs_all, ci_all, m3 = _tree_candidates(emb, qp, tile, False)
+        cand_s = cs_all[:q]
+        cand_i = ci_all[:q]
         cert = m3[:q]
         kk = min(k, cand_s.shape[1])
         fetch = min(kk + _TREE_FETCH_PAD, cand_s.shape[1])
@@ -123,8 +123,8 @@ def main():
     def make_kernel_only(tile):
         @jax.jit
         def f(emb, qp):
-            m1, m2, m3, i1, i2 = _tree_candidates(emb, qp, tile, False)
-            return m1.sum() + m2.sum() + m3.sum()
+            cs_all, ci_all, m3 = _tree_candidates(emb, qp, tile, False)
+            return cs_all.sum() + m3.sum()
 
         return f
 
