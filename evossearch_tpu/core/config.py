@@ -199,6 +199,14 @@ class Config:
         # to cover >=2k candidate rows; see ivf.py); list count (0 = sqrt(N)).
         self.IVF_NPROBE = _env_int("EVOSSEARCH_IVF_NPROBE", "0")
         self.IVF_NLIST = _env_int("EVOSSEARCH_IVF_NLIST", "0")
+        # SQ8 capacity tier for over-HBM-budget folders: "auto" keeps an
+        # int8 sidecar on device (quarter/half the corpus bytes) and
+        # serves certified-EXACT results via device bound-sweep + host
+        # rerank (index/sq8.py); "off" falls straight to the host scan.
+        self.SQ8 = os.getenv("EVOSSEARCH_SQ8", "auto")
+        # Candidate bounds fetched per query by the SQ8 tier (certificate
+        # margin; see index.sq8.DEFAULT_FETCH).
+        self.SQ8_FETCH = _env_int("EVOSSEARCH_SQ8_FETCH", "512")
         # Path to BPE vocab file (OpenAI bpe_simple_vocab_16e6.txt.gz or HF
         # vocab.json+merges.txt directory); empty = bundled/auto-discovered.
         self.BPE_VOCAB_PATH = os.getenv("EVOSSEARCH_BPE_VOCAB", "")

@@ -750,9 +750,10 @@ class SearchEngine:
             if not fits:
                 log.warning(
                     "corpus of %d rows (%.2f GB %s) exceeds the HBM budget "
-                    "(%.2f GB) — routing queries to the host mmap scanner; "
+                    "(%.2f GB) — routing queries to the SQ8 device tier "
+                    "(certified int8 sidecar) or the host mmap scanner; "
                     "raise EVOSSEARCH_HBM_BUDGET_MB or use a larger mesh "
-                    "to search this folder on device",
+                    "to search this folder at full dtype on device",
                     reader.count, need / 2**30, reader.dtype_name,
                     budget / 2**30,
                 )
@@ -783,7 +784,9 @@ class SearchEngine:
                 if not other["lock"].acquire(blocking=False):
                     continue
                 try:
-                    for field in ("emb", "sharded", "ivf", "sharded_ivf"):
+                    for field in (
+                        "emb", "sharded", "ivf", "sharded_ivf", "sq8",
+                    ):
                         other.pop(field, None)
                     total -= other["device_bytes"]
                     other["device_bytes"] = 0
@@ -1039,6 +1042,62 @@ class SearchEngine:
                     entry["ivf_host"] = ivf
         return entry["ivf_host"]
 
+    def _entry_sq8(self, entry, reader):
+        """SQ8 capacity tier for an over-HBM-budget folder, or None.
+
+        Keeps a certified int8 sidecar (index/sq8.py) on device —
+        quarter/half the corpus bytes — and serves EXACT results via the
+        bound-sweep kernel + host rerank, instead of the seconds-long
+        host scan. The sidecar builds host-side (chunked numpy over the
+        mmap shards — an over-budget corpus by definition cannot ride
+        through the device) and persists next to the store with the same
+        mtime staleness rule as the IVF sidecars. Device residency rides
+        the normal reservation/eviction accounting."""
+        sq8 = entry.get("sq8", _UNSET)
+        if sq8 is not _UNSET:
+            return sq8
+        with entry["lock"]:
+            sq8 = entry.get("sq8", _UNSET)
+            if sq8 is not _UNSET:
+                return sq8
+            from .index.sq8 import SQ8Index
+
+            sq8 = None
+            need = reader.count * (reader.dim + 8)
+            budget = self._hbm_budget
+            if (
+                self.cfg.SQ8 != "off"
+                and reader.count
+                and reader.dim % 128 == 0
+                and (budget is None or need <= budget)
+            ):
+                mt = SQ8Index.sidecar_mtime(reader)
+                if mt is not None and mt >= entry["mtime"]:
+                    sq8 = SQ8Index.load(reader, fetch=self.cfg.SQ8_FETCH)
+                if sq8 is None:
+                    log.info(
+                        "building the SQ8 sidecar for %d rows (one-time, "
+                        "host-side; persisted next to the store)",
+                        reader.count,
+                    )
+                    try:
+                        sq8 = SQ8Index.build_from_reader(
+                            reader, fetch=self.cfg.SQ8_FETCH
+                        )
+                    except OSError as e:  # read-only index dir, disk full
+                        log.warning("SQ8 sidecar build failed (%s) — "
+                                    "serving the host scan instead", e)
+                        sq8 = None
+                if sq8 is not None:
+                    self._reserve_device_bytes(entry, need)
+                    try:
+                        sq8.ensure_device()
+                    except BaseException:
+                        self._release_device_bytes(entry, need)
+                        raise
+            entry["sq8"] = sq8
+        return sq8
+
     def _ivf_host_search_batch(self, ivf, queries: np.ndarray, k: int):
         """Batch of host IVF probes, padded to the device search_batch
         contract: (Q, k) scores/ids with id -1 / -inf score where the
@@ -1078,6 +1137,10 @@ class SearchEngine:
                 if ivf is not None:
                     self.counters.add("ivf_host_queries", queries.shape[0])
                     return self._ivf_host_search_batch(ivf, queries, k)
+            sq8 = self._entry_sq8(entry, reader)
+            if sq8 is not None:
+                self.counters.add("sq8_queries", queries.shape[0])
+                return sq8.search_batch(queries, k)
             from .index.search import exact_search_host_reader_batch
 
             return exact_search_host_reader_batch(reader, queries, k)
@@ -1166,12 +1229,18 @@ class SearchEngine:
                         entry, reader
                     ).search_host(query, k, nprobe=self.cfg.IVF_NPROBE)
                 else:
-                    from .index.search import exact_search_host_reader
-
                     self.counters.add("host_routed_queries")
-                    scores, idx = exact_search_host_reader(
-                        reader, np.asarray(query), k
-                    )
+                    sq8 = self._entry_sq8(entry, reader)
+                    if sq8 is not None:
+                        self.counters.add("sq8_queries")
+                        s1, i1 = sq8.search_batch(query[None, :], k)
+                        scores, idx = s1[0], i1[0]
+                    else:
+                        from .index.search import exact_search_host_reader
+
+                        scores, idx = exact_search_host_reader(
+                            reader, np.asarray(query), k
+                        )
             elif self.cfg.INDEX_KIND == "ivf":
                 if self._batcher is not None:
                     # Concurrent IVF queries share one batched dispatch

@@ -414,6 +414,109 @@ def _tree_tile_rows(dtype) -> int:
     return 16384 if dtype == jnp.bfloat16 else 8192
 
 
+def _tree_reduce_emit(
+    n: int, tile_rows: int, i, scores, cs_ref, ci_ref, m3_ref
+) -> None:
+    """Shared reduction tail of the tree kernels: collapse a
+    (LANES, tile_rows) score tile to per-residue-class top-2 (scores +
+    global indices) + 3rd-best bound, and write the pre-packed candidate
+    blocks. ``scores`` is whatever figure the caller ranks by — true
+    inner products (tree kernel) or the SQ8 kernel's certified upper
+    bounds — the reduction and the certification structure are
+    identical."""
+    base = i * tile_rows
+
+    def leaf(mask_tail: bool):
+        # Width T -> T/2: singleton -> per-slot top-2. Left cols are
+        # all lower than right cols here, so >= keeps the lower index.
+        half = tile_rows // 2
+        a = scores[:, :half]
+        b = scores[:, half:]
+        ia = jax.lax.broadcasted_iota(jnp.int32, (LANES, half), 1)
+        if mask_tail:
+            valid = n - base
+            a = jnp.where(ia < valid, a, NEG_INF)
+            b = jnp.where(ia + half < valid, b, NEG_INF)
+        take = a >= b
+        return (
+            jnp.maximum(a, b),
+            jnp.where(take, ia, ia + half),
+            jnp.minimum(a, b),
+            jnp.where(take, ia + half, ia),
+            None,  # 3rd-best appears at the first true merge
+        )
+
+    def merge(sa, sb):
+        # Top-3 of two score-sorted summaries, SCORE-ONLY comparisons.
+        # Ties are resolved arbitrarily (prefer left) — dropping the
+        # index-aware tie compares cuts ~1/3 of the merge's VPU ops,
+        # and the caller's certificates make it safe: a dropped tie
+        # can only matter if its value >= m (the k-th selected
+        # score), and then either the class bound check (m3 < m,
+        # STRICT — the equal value rides in m3) or the candidate
+        # counting certificate fails, routing that query to the exact
+        # fallback. Among KEPT candidates the final lexsort is
+        # index-aware, so certified results still honor the
+        # (score desc, index asc) contract exactly.
+        m1a, i1a, m2a, i2a, m3a = sa
+        m1b, i1b, m2b, i2b, m3b = sb
+        c1 = m1a >= m1b
+        c2a = m2a >= m1b
+        c2b = m1a >= m2b
+        m1 = jnp.where(c1, m1a, m1b)
+        i1 = jnp.where(c1, i1a, i1b)
+        m2 = jnp.where(
+            c1, jnp.where(c2a, m2a, m1b), jnp.where(c2b, m1a, m2b)
+        )
+        i2 = jnp.where(
+            c1, jnp.where(c2a, i2a, i1b), jnp.where(c2b, i1a, i2b)
+        )
+        m23 = jnp.maximum(m2a, m2b)
+        if m3a is None:
+            m3 = jnp.where(
+                c1, jnp.where(c2a, m1b, m23), jnp.where(c2b, m23, m1a)
+            )
+        else:
+            m3 = jnp.where(
+                c1,
+                jnp.where(c2a, jnp.maximum(m3a, m1b), m23),
+                jnp.where(c2b, m23, jnp.maximum(m1a, m3b)),
+            )
+        return m1, i1, m2, i2, m3
+
+    def run(mask_tail: bool) -> None:
+        state = leaf(mask_tail)
+        while state[0].shape[1] > TREE_CLASSES:
+            h = state[0].shape[1] // 2
+            sa = tuple(x if x is None else x[:, :h] for x in state)
+            sb = tuple(x if x is None else x[:, h:] for x in state)
+            state = merge(sa, sb)
+        m1, i1, m2, i2, m3 = state
+        # Candidates ship PRE-PACKED: tile i owns the 256-column block
+        # [m1_tile | m2_tile], so the caller's merge consumes one
+        # (LANES, grid*256) score array + one index array directly —
+        # no post-kernel slices or concats (the merge's final sort is
+        # index-aware, so candidate position order is free).
+        cs_ref[:, :TREE_CLASSES] = m1
+        cs_ref[:, TREE_CLASSES:] = m2
+        ci_ref[:, :TREE_CLASSES] = i1 + base  # global row ids
+        ci_ref[:, TREE_CLASSES:] = i2 + base
+        m3_ref[:] = m3
+
+    if n % tile_rows == 0:
+        run(mask_tail=False)
+    else:
+        is_tail = base + tile_rows > n
+
+        @pl.when(is_tail)
+        def _():
+            run(mask_tail=True)
+
+        @pl.when(jnp.logical_not(is_tail))
+        def _():
+            run(mask_tail=False)
+
+
 def _make_tree_kernel(n: int, d: int, compute_dtype, tile_rows: int):
     def kernel(q_ref, e_ref, cs_ref, ci_ref, m3_ref):
         i = pl.program_id(0)
@@ -429,97 +532,46 @@ def _make_tree_kernel(n: int, d: int, compute_dtype, tile_rows: int):
             preferred_element_type=jnp.float32,
             precision=precision,
         )  # (LANES queries, tile_rows)
-        base = i * tile_rows
+        _tree_reduce_emit(n, tile_rows, i, scores, cs_ref, ci_ref, m3_ref)
 
-        def leaf(mask_tail: bool):
-            # Width T -> T/2: singleton -> per-slot top-2. Left cols are
-            # all lower than right cols here, so >= keeps the lower index.
-            half = tile_rows // 2
-            a = scores[:, :half]
-            b = scores[:, half:]
-            ia = jax.lax.broadcasted_iota(jnp.int32, (LANES, half), 1)
-            if mask_tail:
-                valid = n - base
-                a = jnp.where(ia < valid, a, NEG_INF)
-                b = jnp.where(ia + half < valid, b, NEG_INF)
-            take = a >= b
-            return (
-                jnp.maximum(a, b),
-                jnp.where(take, ia, ia + half),
-                jnp.minimum(a, b),
-                jnp.where(take, ia + half, ia),
-                None,  # 3rd-best appears at the first true merge
-            )
+    return kernel
 
-        def merge(sa, sb):
-            # Top-3 of two score-sorted summaries, SCORE-ONLY comparisons.
-            # Ties are resolved arbitrarily (prefer left) — dropping the
-            # index-aware tie compares cuts ~1/3 of the merge's VPU ops,
-            # and the caller's certificates make it safe: a dropped tie
-            # can only matter if its value >= m (the k-th selected
-            # score), and then either the class bound check (m3 < m,
-            # STRICT — the equal value rides in m3) or the candidate
-            # counting certificate fails, routing that query to the exact
-            # fallback. Among KEPT candidates the final lexsort is
-            # index-aware, so certified results still honor the
-            # (score desc, index asc) contract exactly.
-            m1a, i1a, m2a, i2a, m3a = sa
-            m1b, i1b, m2b, i2b, m3b = sb
-            c1 = m1a >= m1b
-            c2a = m2a >= m1b
-            c2b = m1a >= m2b
-            m1 = jnp.where(c1, m1a, m1b)
-            i1 = jnp.where(c1, i1a, i1b)
-            m2 = jnp.where(
-                c1, jnp.where(c2a, m2a, m1b), jnp.where(c2b, m1a, m2b)
-            )
-            i2 = jnp.where(
-                c1, jnp.where(c2a, i2a, i1b), jnp.where(c2b, i1a, i2b)
-            )
-            m23 = jnp.maximum(m2a, m2b)
-            if m3a is None:
-                m3 = jnp.where(
-                    c1, jnp.where(c2a, m1b, m23), jnp.where(c2b, m23, m1a)
-                )
-            else:
-                m3 = jnp.where(
-                    c1,
-                    jnp.where(c2a, jnp.maximum(m3a, m1b), m23),
-                    jnp.where(c2b, m23, jnp.maximum(m1a, m3b)),
-                )
-            return m1, i1, m2, i2, m3
 
-        def run(mask_tail: bool) -> None:
-            state = leaf(mask_tail)
-            while state[0].shape[1] > TREE_CLASSES:
-                h = state[0].shape[1] // 2
-                sa = tuple(x if x is None else x[:, :h] for x in state)
-                sb = tuple(x if x is None else x[:, h:] for x in state)
-                state = merge(sa, sb)
-            m1, i1, m2, i2, m3 = state
-            # Candidates ship PRE-PACKED: tile i owns the 256-column block
-            # [m1_tile | m2_tile], so the caller's merge consumes one
-            # (LANES, grid*256) score array + one index array directly —
-            # no post-kernel slices or concats (the merge's final sort is
-            # index-aware, so candidate position order is free).
-            cs_ref[:, :TREE_CLASSES] = m1
-            cs_ref[:, TREE_CLASSES:] = m2
-            ci_ref[:, :TREE_CLASSES] = i1 + base  # global row ids
-            ci_ref[:, TREE_CLASSES:] = i2 + base
-            m3_ref[:] = m3
+def _make_sq8_kernel(n: int, d: int, tile_rows: int):
+    """SQ8 bound sweep: the tree kernel over certified UPPER BOUNDS of
+    the true scores, streaming an int8-quantized corpus (half the HBM
+    bytes of bf16, quarter of f32).
 
-        if n % tile_rows == 0:
-            run(mask_tail=False)
-        else:
-            is_tail = base + tile_rows > n
+    Inputs per row i (built by index.sq8.quantize_rows): e8_i = round-to-
+    nearest int8 of row/scale_i, scale_i, and radd_i — a rigorous bound
+    on everything the quantized dot misses (see quantize_rows for the
+    derivation). The kernel computes
 
-            @pl.when(is_tail)
-            def _():
-                run(mask_tail=True)
+        u_i = <e8_i, bf16(q)> * scale_i + radd_i * ||q||  >=  <row_i, q>
 
-            @pl.when(jnp.logical_not(is_tail))
-            def _():
-                run(mask_tail=False)
+    exactly certifiable because the bf16 MXU pass is EXACT integer
+    arithmetic here: int8 values (<=127) and bf16(q) both carry <=8-bit
+    mantissas, every product fits f32 exactly, and the f32 accumulation
+    error is folded into radd. The tree reduction then keeps each
+    residue class's top-2 bounds (+ indices) and 3rd-best bound — the
+    same certified-candidate structure as the exact tree kernel, with
+    bounds in place of scores."""
+
+    def kernel(q_ref, qn_ref, e_ref, s_ref, cs_ref, ci_ref, m3_ref):
+        i = pl.program_id(0)
+        q = q_ref[:].astype(jnp.bfloat16)           # (LANES, d) — see above
+        e = e_ref[:].astype(jnp.bfloat16)           # int8 -> bf16 is exact
+        dot = jax.lax.dot_general(
+            q, e,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (LANES, tile_rows) f32, exact integer-scaled dot
+        scale = s_ref[0:1, :]                       # (1, tile_rows)
+        radd = s_ref[1:2, :]
+        qn = qn_ref[:]                              # (LANES, 1) ||q|| per lane
+        bounds = dot * scale + qn * radd
+        _tree_reduce_emit(n, tile_rows, i, bounds, cs_ref, ci_ref, m3_ref)
 
     return kernel
 
@@ -576,6 +628,69 @@ def _tree_candidates(
         ),
         interpret=interpret,
     )(queries_padded, emb)
+
+
+# SQ8 tile: int8 halves the per-tile VMEM of the bf16 tree tile, but the
+# in-kernel bf16 widening materializes a second copy, so the live set is
+# comparable — keep the tree kernel's measured-optimal candidate density
+# (one 256-column candidate block per 16384 corpus rows).
+SQ8_TILE_ROWS = 16384
+
+
+def sq8_candidates(
+    e8: jax.Array, scal2: jax.Array, queries_padded: jax.Array,
+    qnorm: jax.Array, tile_rows: int = SQ8_TILE_ROWS,
+    interpret: bool = False,
+):
+    """One-pass SQ8 bound sweep (see _make_sq8_kernel): per (tile,
+    residue class) top-2 BOUNDS + global indices + 3rd-best bound,
+    pre-packed exactly like _tree_candidates.
+
+    e8: (N, d) int8 quantized corpus. scal2: (2, N) f32 [scale; radd]
+    per-row scalars (index.sq8.quantize_rows). queries_padded:
+    (LANES, d) f32. qnorm: (LANES, 1) f32 per-lane ||q|| scaling the
+    additive bound term (rows quantized against unit queries stay
+    rigorous for any query norm)."""
+    n, d = e8.shape
+    if d % LANES:
+        raise ValueError(f"d={d} must be a multiple of {LANES}")
+    if tile_rows < 512 or tile_rows & (tile_rows - 1):
+        raise ValueError(f"tile_rows={tile_rows} must be a power of two >= 512")
+    grid = pl.cdiv(n, tile_rows)
+    cand_block = pl.BlockSpec(
+        (LANES, 2 * TREE_CLASSES), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    cert_block = pl.BlockSpec(
+        (LANES, TREE_CLASSES), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    cand_f32 = jax.ShapeDtypeStruct((LANES, grid * 2 * TREE_CLASSES), jnp.float32)
+    cand_i32 = jax.ShapeDtypeStruct((LANES, grid * 2 * TREE_CLASSES), jnp.int32)
+    cert_f32 = jax.ShapeDtypeStruct((LANES, grid * TREE_CLASSES), jnp.float32)
+    return pl.pallas_call(
+        _make_sq8_kernel(n, d, tile_rows),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((LANES, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (2, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(cand_block, cand_block, cert_block),
+        out_shape=(cand_f32, cand_i32, cert_f32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * LANES * n * d,
+            bytes_accessed=n * d + 8 * n,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(queries_padded, qnorm, e8, scal2)
 
 
 def use_tree_kernel(n_rows: int, k: int, dtype) -> bool:

@@ -51,6 +51,9 @@ def _engine(monkeypatch, tmp_path, budget_mb, microbatch="0"):
     monkeypatch.setenv("EVOSSEARCH_HBM_BUDGET_MB", str(budget_mb))
     monkeypatch.setenv("EVOSSEARCH_SEARCH_KERNEL", "xla")
     monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", microbatch)
+    # These tests pin the HOST route's behavior; the SQ8 device tier has
+    # its own routing suite (tests/test_sq8.py).
+    monkeypatch.setenv("EVOSSEARCH_SQ8", "off")
     return SearchEngine(cfg=Config(env_path=tmp_path / "missing.env"), spec=TINY)
 
 

@@ -1,0 +1,328 @@
+"""SQ8 certified int8 capacity tier (index/sq8.py + ops sq8 kernel).
+
+The exactness story rests on three legs, each tested here:
+  1. the quantization bound is RIGOROUS (u >= every score any exact path
+     computes for that row) — property-tested including adversarial rows;
+  2. certified results equal the host exact scan bit-for-bit (same score
+     function, same tie contract), and uncertified rows fall back to it;
+  3. the engine routes over-HBM-budget folders through the tier, with
+     sidecar persistence, staleness invalidation, and budget accounting.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from evossearch_tpu.index.sq8 import (
+    DEFAULT_FETCH, SQ8Index, quantize_rows,
+)
+
+D = 256
+
+
+class FakeReader:
+    """Minimal reader contract for SQ8Index (count/dim/dtype_name/root/
+    shard_arrays)."""
+
+    def __init__(self, emb, root="/tmp/nonexistent", dtype_name="float32",
+                 shards=1):
+        self._emb = emb
+        self.count, self.dim = emb.shape
+        self.dtype_name = dtype_name
+        self.root = root
+
+        cut = self.count // shards
+        self._shards = [
+            emb[i * cut : (i + 1) * cut if i < shards - 1 else self.count]
+            for i in range(shards)
+        ]
+
+    def shard_arrays(self):
+        return self._shards
+
+
+def _oracle(emb, queries, k, bf16_query=False):
+    """(score desc, index asc) top-k with the host-scan score contract."""
+    qs = np.asarray(queries, np.float32)
+    if bf16_query:
+        import ml_dtypes
+
+        qs = qs.astype(ml_dtypes.bfloat16).astype(np.float32)
+    s = emb.astype(np.float32) @ qs.T  # (n, Q)
+    out_s, out_i = [], []
+    for qi in range(qs.shape[0]):
+        order = np.lexsort((np.arange(emb.shape[0]), -s[:, qi]))[:k]
+        out_s.append(s[order, qi])
+        out_i.append(order)
+    return np.array(out_s), np.array(out_i)
+
+
+def test_quantize_bound_is_rigorous():
+    """u = dot*scale + radd*||q|| must dominate the score every exact path
+    computes: raw-f32-query scores AND bf16-quantized-query scores, for
+    random, heavy-tailed, constant, zero, and denormal-ish rows."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(0)
+    rows = np.concatenate([
+        rng.standard_normal((2000, D)).astype(np.float32),
+        (rng.standard_normal((500, D)) ** 5).astype(np.float32),  # heavy tails
+        np.ones((3, D), np.float32),
+        np.zeros((2, D), np.float32),
+        np.full((2, D), 1e-30, np.float32),
+        rng.standard_normal((500, D)).astype(np.float32) * 1e-8,
+    ])
+    norms = np.linalg.norm(rows, axis=1, keepdims=True)
+    rows = np.where(norms > 0, rows / np.maximum(norms, 1e-30), rows)
+    e8, scal2 = quantize_rows(rows)
+    assert e8.dtype == np.int8 and scal2.shape == (2, len(rows))
+
+    qs = rng.standard_normal((32, D)).astype(np.float32)
+    qs[0] *= 100.0  # non-unit query: the ||q|| scaling must stay rigorous
+    qs[1] *= 1e-6
+    qb = qs.astype(ml_dtypes.bfloat16).astype(np.float32)
+    qn = np.linalg.norm(qs, axis=1)
+
+    # the kernel's dot: int8 -> bf16 (exact) x bf16(q), f32 accumulation
+    dot = e8.astype(np.float32) @ qb.T  # (n, Q)
+    u = dot * scal2[0][:, None] + scal2[1][:, None] * qn[None, :]
+    for target in (rows @ qs.T, rows @ qb.T):
+        viol = u < target
+        assert not viol.any(), (
+            f"{viol.sum()} bound violations, worst "
+            f"{(target - u)[viol].max():.3e}"
+        )
+
+
+def test_certified_equals_host_scan_f32():
+    rng = np.random.default_rng(1)
+    n, k = 40_000, 10
+    emb = rng.standard_normal((n, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    reader = FakeReader(emb, shards=3)
+    e8, scal2 = quantize_rows(emb)
+    idx = SQ8Index(e8, scal2, reader, fetch=128, tile_rows=512)
+    qs = rng.standard_normal((8, D)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    s, i = idx.search_batch(qs, k)
+    es, ei = _oracle(emb, qs, k)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(s, es, atol=2e-6)
+
+
+def test_certified_equals_host_scan_bf16_store():
+    import ml_dtypes
+
+    rng = np.random.default_rng(2)
+    n, k = 30_000, 7
+    emb = rng.standard_normal((n, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb16 = emb.astype(ml_dtypes.bfloat16)
+    reader = FakeReader(emb16, dtype_name="bfloat16", shards=2)
+    e8, scal2 = quantize_rows(emb16.astype(np.float32))
+    idx = SQ8Index(e8, scal2, reader, fetch=128, tile_rows=512)
+    qs = rng.standard_normal((5, D)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    s, i = idx.search_batch(qs, k)
+    # the bf16 contract: rows widened, query bf16-quantized first
+    es, ei = _oracle(emb16.astype(np.float32), qs, k, bf16_query=True)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(s, es, atol=2e-6)
+
+
+def test_mass_ties_fall_back_and_stay_exact():
+    """All-identical rows break every certificate (bounds all equal);
+    the result must still be exact via the host fallback — lowest-index
+    ties."""
+    rng = np.random.default_rng(3)
+    n, k = 4096, 6
+    row = rng.standard_normal(D).astype(np.float32)
+    emb = np.tile(row, (n, 1))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    reader = FakeReader(emb)
+    e8, scal2 = quantize_rows(emb)
+    idx = SQ8Index(e8, scal2, reader, fetch=64, tile_rows=512)
+    q = (row / np.linalg.norm(row)).astype(np.float32)
+    s, i = idx.search_batch(q[None], k)
+    np.testing.assert_array_equal(i[0], np.arange(k))  # lowest-index ties
+
+
+def test_id_hi_lo_packing_roundtrip():
+    """Candidate ids ride as f32 hi/lo pairs so corpora past 2**24 rows
+    (where a single f32 stops being integer-exact) keep exact indices."""
+    import jax.numpy as jnp
+
+    from evossearch_tpu.index.sq8 import _ID_SPLIT
+
+    ids = np.array([0, 1, 4095, 4096, 2**24 - 1, 2**24, 20_000_000,
+                    2**25 + 12345], np.int64)
+    hi = np.float32(ids // _ID_SPLIT)
+    lo = np.float32(ids % _ID_SPLIT)
+    back = hi.astype(np.int64) * _ID_SPLIT + lo.astype(np.int64)
+    np.testing.assert_array_equal(back, ids)
+    assert (ids // _ID_SPLIT < 2**23).all() and (_ID_SPLIT < 2**23)
+
+
+def test_sidecar_roundtrip_and_anomalies(tmp_path):
+    rng = np.random.default_rng(4)
+    n = 5000
+    emb = rng.standard_normal((n, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    reader = FakeReader(emb, root=str(tmp_path), shards=2)
+    built = SQ8Index.build_from_reader(reader)
+    loaded = SQ8Index.load(reader)
+    assert loaded is not None
+    np.testing.assert_array_equal(np.asarray(loaded.e8), np.asarray(built.e8))
+    np.testing.assert_array_equal(loaded.scal2, built.scal2)
+
+    # anomalies -> None (engine rebuilds): bad count, truncated bin,
+    # missing meta
+    meta = json.loads((tmp_path / "sq8.json").read_text())
+    meta["count"] = n + 1
+    (tmp_path / "sq8.json").write_text(json.dumps(meta))
+    assert SQ8Index.load(reader) is None
+    meta["count"] = n
+    (tmp_path / "sq8.json").write_text(json.dumps(meta))
+    assert SQ8Index.load(reader) is not None
+    with open(tmp_path / "sq8.bin", "r+b") as f:
+        f.truncate(100)
+    assert SQ8Index.load(reader) is None
+    (tmp_path / "sq8.json").unlink()
+    assert SQ8Index.load(reader) is None
+
+
+# -- engine routing ---------------------------------------------------------
+
+from evossearch_tpu.core import Config
+from evossearch_tpu.core.constants import CLIPModelSpec
+from evossearch_tpu.engine import SearchEngine, _canon
+from evossearch_tpu.index.store import IndexWriter
+
+TINY = CLIPModelSpec(
+    name="tiny", image_size=64, patch_size=16, vision_width=64,
+    vision_layers=2, vision_heads=4, text_width=48, text_layers=2,
+    text_heads=4, vocab_size=49408, context_length=77, embed_dim=256,
+)
+
+
+def _make_index(folder, n, seed):
+    folder = Path(folder)
+    folder.mkdir(exist_ok=True)
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    w = IndexWriter.create(folder, model="tiny", dim=D, dtype_name="float32")
+    paths = [str(folder / f"img_{i:05d}.jpg") for i in range(n)]
+    meta = [{"path": p, "mtime": 1.0, "size": 10} for p in paths]
+    w.append(emb, paths, meta)
+    w.finalize()
+    return emb
+
+
+def _engine(monkeypatch, tmp_path, budget_mb, **env):
+    for k in ("EVOSSEARCH_CHECKPOINT", "EVOSSEARCH_BPE_VOCAB"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("EVOSSEARCH_HBM_BUDGET_MB", str(budget_mb))
+    monkeypatch.setenv("EVOSSEARCH_SEARCH_KERNEL", "xla")
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", "0")
+    for key, val in env.items():
+        monkeypatch.setenv(key, val)
+    return SearchEngine(cfg=Config(env_path=tmp_path / "missing.env"),
+                        spec=TINY)
+
+
+def test_engine_routes_over_budget_folder_to_sq8(monkeypatch, tmp_path):
+    """Corpus 8 MB > 2 MB budget; int8 sidecar ~2.06 MB... shrink: use
+    n=7000 -> corpus 7 MB, sidecar 1.8 MB <= 2 MB budget: queries ride
+    the SQ8 tier (counter + sidecar files + device_bytes accounting) and
+    return the exact host-contract results."""
+    folder = tmp_path / "a"
+    emb = _make_index(folder, 7000, seed=0)
+    eng = _engine(monkeypatch, tmp_path, budget_mb=2)
+    q = np.random.default_rng(7).standard_normal(D).astype(np.float32)
+    q /= np.linalg.norm(q)
+    s, i, _ = eng.search_embedding(str(folder), q, 10)
+    es, ei = _oracle(emb, q[None], 10)
+    np.testing.assert_array_equal(i, ei[0])
+    np.testing.assert_allclose(s, es[0], atol=2e-6)
+    entry = eng._index_cache[_canon(str(folder))]
+    assert "emb" not in entry
+    assert entry["sq8"] is not None
+    assert entry["device_bytes"] == 7000 * (D + 8)
+    snap = eng.counters.snapshot()
+    assert snap["sq8_queries"] == 1
+    assert (folder / ".clip_index" / "sq8.bin").exists()
+
+    # second engine process: loads the persisted sidecar instead of
+    # rebuilding (build leaves no .tmp files behind)
+    assert not list((folder / ".clip_index").glob("*.tmp"))
+    eng2 = _engine(monkeypatch, tmp_path, budget_mb=2)
+    s2, i2, _ = eng2.search_embedding(str(folder), q, 10)
+    np.testing.assert_array_equal(i2, ei[0])
+
+
+def test_engine_sq8_off_and_too_big_fall_to_host_scan(monkeypatch, tmp_path):
+    folder = tmp_path / "a"
+    emb = _make_index(folder, 7000, seed=1)
+    # budget 1 MB: even the sidecar (1.8 MB) doesn't fit -> host scan
+    eng = _engine(monkeypatch, tmp_path, budget_mb=1)
+    q = np.random.default_rng(9).standard_normal(D).astype(np.float32)
+    s, i, _ = eng.search_embedding(str(folder), q, 5)
+    np.testing.assert_array_equal(i, _oracle(emb, q[None], 5)[1][0])
+    entry = eng._index_cache[_canon(str(folder))]
+    assert entry["sq8"] is None and entry.get("device_bytes", 0) == 0
+    assert "sq8_queries" not in eng.counters.snapshot()
+
+    # EVOSSEARCH_SQ8=off: never builds, even when it would fit
+    eng2 = _engine(monkeypatch, tmp_path, budget_mb=2, EVOSSEARCH_SQ8="off")
+    s, i, _ = eng2.search_embedding(str(folder), q, 5)
+    np.testing.assert_array_equal(i, _oracle(emb, q[None], 5)[1][0])
+    assert eng2._index_cache[_canon(str(folder))]["sq8"] is None
+    assert not (folder / ".clip_index" / "sq8.json").exists()
+
+
+def test_engine_sq8_sidecar_invalidated_by_reindex(monkeypatch, tmp_path):
+    """Re-indexing republishes the store; the stale sidecar (older mtime)
+    must be rebuilt, not served."""
+    import os
+    import time
+
+    folder = tmp_path / "a"
+    _make_index(folder, 7000, seed=2)
+    eng = _engine(monkeypatch, tmp_path, budget_mb=2)
+    q = np.random.default_rng(11).standard_normal(D).astype(np.float32)
+    eng.search_embedding(str(folder), q, 5)
+    sidecar = folder / ".clip_index" / "sq8.json"
+    assert sidecar.exists()
+
+    time.sleep(0.02)
+    emb2 = _make_index(folder, 7000, seed=3)  # re-publish with new rows
+    # ensure the manifest mtime moved past the sidecar's
+    now = time.time() + 1
+    os.utime(folder / ".clip_index" / "manifest.json", (now, now))
+    eng2 = _engine(monkeypatch, tmp_path, budget_mb=2)
+    s, i, _ = eng2.search_embedding(str(folder), q, 5)
+    np.testing.assert_array_equal(i, _oracle(emb2, q[None], 5)[1][0])
+    assert sidecar.stat().st_mtime >= now - 2  # rebuilt
+
+
+def test_engine_sq8_batcher_path(monkeypatch, tmp_path):
+    """Micro-batched submissions reach the same SQ8 route."""
+    folder = tmp_path / "a"
+    emb = _make_index(folder, 7000, seed=4)
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", "2")
+    for k in ("EVOSSEARCH_CHECKPOINT", "EVOSSEARCH_BPE_VOCAB"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("EVOSSEARCH_HBM_BUDGET_MB", "2")
+    monkeypatch.setenv("EVOSSEARCH_SEARCH_KERNEL", "xla")
+    eng = SearchEngine(cfg=Config(env_path=tmp_path / "missing.env"),
+                       spec=TINY)
+    try:
+        q = np.random.default_rng(13).standard_normal(D).astype(np.float32)
+        s, i, _ = eng.search_embedding(str(folder), q, 5)
+        np.testing.assert_array_equal(i, _oracle(emb, q[None], 5)[1][0])
+        assert eng.counters.snapshot()["sq8_queries"] >= 1
+    finally:
+        eng.close()
