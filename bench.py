@@ -574,6 +574,98 @@ def bench_ivf_10m() -> None:
         f"IVF wins on host; the gap grows ~O(N/sqrt(N)) with corpus size")
 
 
+def bench_sq8() -> None:
+    """SQ8 capacity tier (index/sq8.py): 20M rows EXACT on one chip — 2x
+    the bf16 in-HBM ceiling — via the certified int8 bound sweep. The
+    corpus is generated per-row-keyed on device and quantized on device
+    (production builds the same sidecar host-side from the mmap store);
+    candidates rerank against regenerated rows, standing in for the
+    production host-mmap rerank (a fetch*Q-row BLAS GEMV, ~1 ms). Cert
+    rate = fraction of queries whose result is PROVEN equal to the exact
+    scan's; the engine reruns failures through the host scan."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from evossearch_tpu.index.sq8 import (
+        _ID_SPLIT, _sq8_select, quantize_rows_device,
+    )
+    from evossearch_tpu.ops.topk_pallas import SQ8_TILE_ROWS
+
+    n, chunk, fetch = 20 << 20, 1 << 19, 512
+    key = jax.random.key(20)
+
+    def gen_rows(ids):
+        # elementwise-only (no normalize): bit-deterministic across the
+        # build/rerank programs — a reduction's order varies per program
+        # and flips bf16 rounding (see scripts/val_sq8.py)
+        def row(i):
+            k = jax.random.fold_in(key, i)
+            return jax.random.normal(k, (DIM,), jnp.float32).astype(
+                jnp.bfloat16)
+
+        return jax.vmap(row)(ids)
+
+    @functools.partial(jax.jit, static_argnames=("nn",))
+    def build(nn):
+        def body(c, carry):
+            e8_all, s2_all = carry
+            rows = gen_rows(c * chunk + jnp.arange(chunk)).astype(jnp.float32)
+            e8, s2 = quantize_rows_device(rows)
+            e8_all = jax.lax.dynamic_update_slice(e8_all, e8, (c * chunk, 0))
+            s2_all = jax.lax.dynamic_update_slice(s2_all, s2, (0, c * chunk))
+            return e8_all, s2_all
+
+        init = (jnp.zeros((nn, DIM), jnp.int8),
+                jnp.zeros((2, nn), jnp.float32))
+        return jax.lax.fori_loop(0, nn // chunk, body, init)
+
+    t0 = time.perf_counter()
+    e8, scal2 = build(n)
+    _sync(e8[0, 0])
+    log(f"SQ8: 20M-row int8 corpus built on device in "
+        f"{time.perf_counter() - t0:.0f}s ({n * DIM / 2**30:.1f} GB vs "
+        f"{n * DIM * 2 / 2**30:.1f} GB bf16 — would not fit HBM)")
+    queries = jax.random.normal(jax.random.key(21), (QUERY_BATCH, DIM),
+                                jnp.float32)
+    queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+
+    sel = lambda: _sq8_select(e8, scal2, queries, fetch, SQ8_TILE_ROWS, False)
+    packed = np.asarray(sel())  # compile
+    t_wall = _p50(sel, iters=8)
+
+    @jax.jit
+    def rerank(ids):
+        # dequantized-corpus scores (scale_i * <e8_i, q~>): gathered from
+        # the ONE materialized int8 array, so bit-consistent with the
+        # bounds the kernel computed — regenerating rows in a second
+        # program is NOT bit-stable across XLA programs (scripts/val_sq8)
+        rows = e8[ids.reshape(-1)].reshape(*ids.shape, DIM).astype(
+            jnp.float32)
+        sc = scal2[0][ids.reshape(-1)].reshape(ids.shape)
+        qb = queries.astype(jnp.bfloat16)
+        dots = jnp.sum(
+            rows * qb.astype(jnp.float32)[:, None, :], axis=2)
+        return dots * sc
+
+    ids = (packed[:, fetch:2 * fetch].astype(np.int64) * _ID_SPLIT
+           + packed[:, 2 * fetch:3 * fetch].astype(np.int64))
+    rr = np.asarray(rerank(jnp.asarray(ids, jnp.int32)))
+    certs = 0
+    for qi in range(QUERY_BATCH):
+        s = np.sort(rr[qi])[::-1][:K]
+        certs += bool(
+            packed[qi, -2] > 0 and s[-1] >= packed[qi, fetch - 1]
+            and packed[qi, -1] < s[-1]
+        )
+    gbps = n * (DIM + 8) / ((t_wall - 25.0) * 1e-3) / 1e9  # ~floor-adjusted
+    log(f"SQ8 20M rows EXACT, batched {QUERY_BATCH}: select p50 "
+        f"{t_wall:.1f}ms wall = {t_wall / QUERY_BATCH:.3f} ms/query "
+        f"(~{gbps:.0f} GB/s sweep), cert {certs}/{QUERY_BATCH} "
+        f"[capacity: 2x the bf16 HBM ceiling, exact results]")
+
+
 def warmup_backend() -> None:
     """Absorb the relay cold-start BEFORE any budgeted phase runs.
 
@@ -629,10 +721,13 @@ def main() -> None:
     # needs the most headroom, and frees from earlier big phases land
     # lazily through the relay (run-2 diagnosis: the 3M build OOM'd with
     # an arithmetic peak of only ~11 GB after the 10M + 1M-IVF phases).
-    budgets = {"bench_index": 600, "bench_encode": 480, "bench_ivf_10m": 600}
+    budgets = {"bench_index": 600, "bench_encode": 480,
+               "bench_ivf_10m": 600, "bench_sq8": 600}
+    # bench_sq8 LAST among HBM-heavy phases: its 10 GB int8 corpus wants a
+    # defragmented chip, and nothing runs after it to be poisoned.
     for extra in (bench_encode, bench_encode_b16, bench_encode_l14,
                   bench_device_pipeline, bench_index, bench_ivf_10m,
-                  bench_search_10m, bench_ivf):
+                  bench_search_10m, bench_ivf, bench_sq8):
         try:
             _run_phase(extra, budget_s=budgets.get(extra.__name__, 300))
         except Exception as e:  # extras must not kill the primary metric

@@ -17,9 +17,11 @@ sidecar on device instead and still returns EXACT results:
      (index.search.exact_search_host*), then certified: with m = the
      k-th reranked score, ``m >= mf`` proves every row whose bound could
      reach the top-k was fetched, and ``max 3rd-class-bound < m`` proves
-     the kernel dropped nothing that mattered. Certified rows are
-     bit-identical to the host exact scan's top-k (same scores, same
-     (score desc, index asc) tie rule); uncertified rows (mass ties,
+     the kernel dropped nothing that mattered. Certified rows are the
+     exact top-k under the engine's (score desc, index asc) tie
+     contract, scored with the host scan's score function (BLAS f32 —
+     reduction order, hence the last ulp, varies with GEMM shape, same
+     as between any two exact kernels); uncertified rows (mass ties,
      pathologically flat score distributions) rerun through the host
      batch scan.
 
@@ -97,6 +99,29 @@ def quantize_rows(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     ) * (1 + 1e-5) + 1e-7
     scal2 = np.stack([scale, radd.astype(np.float32)])
     return e8, np.ascontiguousarray(scal2, np.float32)
+
+
+@jax.jit
+def quantize_rows_device(a):
+    """Device-side quantize_rows (bench/validation; production sidecars
+    build host-side from the mmap store). Same bound formula; the f32
+    residual computation's own rounding (vs the host path's f64) is
+    ~anorm * 2^-24, absorbed by the rnorm inflation with >100x margin."""
+    import jax.numpy as jnp
+
+    d = a.shape[1]
+    m = jnp.max(jnp.abs(a), axis=1)
+    scale = jnp.where(m > 0, m / 127.0, 1.0)
+    e8 = jnp.clip(jnp.round(a / scale[:, None]), -127, 127).astype(jnp.int8)
+    ef = e8.astype(jnp.float32)
+    r = a - scale[:, None] * ef
+    rnorm = jnp.sqrt(jnp.sum(r * r, axis=1))
+    anorm = scale * jnp.sqrt(jnp.sum(ef * ef, axis=1))
+    radd = (
+        rnorm * (1 + 4e-3)
+        + anorm * (C_BF16 + 2.0 * d * 2.0 ** -24) * 1.05
+    ) * (1 + 1e-5) + 1e-7
+    return e8, jnp.stack([scale, radd])
 
 
 @functools.partial(
@@ -278,7 +303,8 @@ class SQ8Index:
     def _rerank_queries(self, queries: np.ndarray) -> np.ndarray:
         """The query the score contract demands: bf16 stores quantize it
         to bf16 first (index.search.exact_search_host does the same), so
-        certified SQ8 results == the host scan's bit-for-bit."""
+        certified SQ8 scores are the host scan's score function applied
+        to the same operands (agreeing to BLAS f32 reduction rounding)."""
         if self.reader.dtype_name == "bfloat16":
             from .store import _dtype_of
 
