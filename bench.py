@@ -636,22 +636,26 @@ def bench_sq8() -> None:
     t_wall = _p50(sel, iters=8)
 
     @jax.jit
-    def rerank(ids):
+    def rerank(e8_, scal2_, queries_, ids):
         # dequantized-corpus scores (scale_i * <e8_i, q~>): gathered from
         # the ONE materialized int8 array, so bit-consistent with the
         # bounds the kernel computed — regenerating rows in a second
-        # program is NOT bit-stable across XLA programs (scripts/val_sq8)
-        rows = e8[ids.reshape(-1)].reshape(*ids.shape, DIM).astype(
+        # program is NOT bit-stable across XLA programs (scripts/val_sq8).
+        # e8_/scal2_ MUST be explicit args: a jit CLOSING over a device
+        # array embeds it as a lowering constant, and fetching 10 GB of
+        # "constant" through the relay wedges the phase for >600s
+        # (observed on hardware).
+        rows = e8_[ids.reshape(-1)].reshape(*ids.shape, DIM).astype(
             jnp.float32)
-        sc = scal2[0][ids.reshape(-1)].reshape(ids.shape)
-        qb = queries.astype(jnp.bfloat16)
+        sc = scal2_[0][ids.reshape(-1)].reshape(ids.shape)
+        qb = queries_.astype(jnp.bfloat16)
         dots = jnp.sum(
             rows * qb.astype(jnp.float32)[:, None, :], axis=2)
         return dots * sc
 
     ids = (packed[:, fetch:2 * fetch].astype(np.int64) * _ID_SPLIT
            + packed[:, 2 * fetch:3 * fetch].astype(np.int64))
-    rr = np.asarray(rerank(jnp.asarray(ids, jnp.int32)))
+    rr = np.asarray(rerank(e8, scal2, queries, jnp.asarray(ids, jnp.int32)))
     certs = 0
     for qi in range(QUERY_BATCH):
         s = np.sort(rr[qi])[::-1][:K]
