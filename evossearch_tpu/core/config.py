@@ -204,6 +204,12 @@ class Config:
         # serves certified-EXACT results via device bound-sweep + host
         # rerank (index/sq8.py); "off" falls straight to the host scan.
         self.SQ8 = os.getenv("EVOSSEARCH_SQ8", "auto")
+        # Above this row count a missing SQ8 sidecar builds in a
+        # background thread (queries ride the host scan until it
+        # publishes); at or below it the first query builds inline
+        # (~15 s at the threshold on a 1-core host, ~5 min at 20M rows)
+        self.SQ8_SYNC_ROWS = _env_int("EVOSSEARCH_SQ8_SYNC_ROWS",
+                                      str(1 << 20))
         # Candidate bounds fetched per query by the SQ8 tier (certificate
         # margin; see index.sq8.DEFAULT_FETCH).
         self.SQ8_FETCH = _env_int("EVOSSEARCH_SQ8_FETCH", "512")

@@ -1062,41 +1062,107 @@ class SearchEngine:
                 return sq8
             from .index.sq8 import SQ8Index
 
-            sq8 = None
             need = reader.count * (reader.dim + 8)
             budget = self._hbm_budget
-            if (
+            if not (
                 self.cfg.SQ8 != "off"
                 and reader.count
                 and reader.dim % 128 == 0
                 and (budget is None or need <= budget)
             ):
-                mt = SQ8Index.sidecar_mtime(reader)
-                if mt is not None and mt >= entry["mtime"]:
-                    sq8 = SQ8Index.load(reader, fetch=self.cfg.SQ8_FETCH)
-                if sq8 is None:
-                    log.info(
-                        "building the SQ8 sidecar for %d rows (one-time, "
-                        "host-side; persisted next to the store)",
-                        reader.count,
-                    )
-                    try:
-                        sq8 = SQ8Index.build_from_reader(
-                            reader, fetch=self.cfg.SQ8_FETCH
-                        )
-                    except OSError as e:  # read-only index dir, disk full
-                        log.warning("SQ8 sidecar build failed (%s) — "
-                                    "serving the host scan instead", e)
-                        sq8 = None
+                entry["sq8"] = None
+                return None
+            mt = SQ8Index.sidecar_mtime(reader)
+            if mt is not None and mt >= entry["mtime"]:
+                sq8 = SQ8Index.load(reader, fetch=self.cfg.SQ8_FETCH,
+                                    store_mtime=entry["mtime"])
                 if sq8 is not None:
-                    self._reserve_device_bytes(entry, need)
-                    try:
-                        sq8.ensure_device()
-                    except BaseException:
-                        self._release_device_bytes(entry, need)
-                        raise
-            entry["sq8"] = sq8
-        return sq8
+                    self._install_sq8(entry, sq8, need)
+                    return entry["sq8"]
+            if reader.count <= self.cfg.SQ8_SYNC_ROWS:
+                log.info(
+                    "building the SQ8 sidecar for %d rows (one-time, "
+                    "host-side; persisted next to the store)",
+                    reader.count,
+                )
+                try:
+                    sq8 = SQ8Index.build_from_reader(
+                        reader, fetch=self.cfg.SQ8_FETCH,
+                        store_mtime=entry["mtime"],
+                    )
+                except OSError as e:  # read-only index dir, disk full
+                    log.warning("SQ8 sidecar build failed (%s) — "
+                                "serving the host scan instead", e)
+                    sq8 = None
+                if sq8 is not None:
+                    self._install_sq8(entry, sq8, need)
+                entry.setdefault("sq8", sq8)
+                return entry["sq8"]
+            # Big corpus, no sidecar yet: a synchronous build would stall
+            # this query (and the folder) for minutes — build in the
+            # background and serve the host scan until it publishes.
+            if not entry.get("sq8_building"):
+                entry["sq8_building"] = True
+                self.counters.add("sq8_async_builds")
+                log.info(
+                    "building the SQ8 sidecar for %d rows in the "
+                    "background (queries ride the host scan until it is "
+                    "ready; EVOSSEARCH_SQ8_SYNC_ROWS forces inline)",
+                    reader.count,
+                )
+                threading.Thread(
+                    target=self._build_sq8_background,
+                    args=(entry, reader, need), daemon=True,
+                    name="sq8-build",
+                ).start()
+            return None
+
+    def _install_sq8(self, entry, sq8, need: int) -> None:
+        """Reserve HBM and materialize a built/loaded sidecar; on any
+        device failure the folder keeps serving via the host scan.
+        Caller holds entry['lock']."""
+        self._reserve_device_bytes(entry, need)
+        try:
+            sq8.ensure_device()
+        except Exception as e:
+            self._release_device_bytes(entry, need)
+            log.warning("SQ8 device materialization failed (%s) — "
+                        "serving the host scan instead", e)
+            entry["sq8"] = None
+            return
+        entry["sq8"] = sq8
+
+    def _build_sq8_background(self, entry, reader, need: int) -> None:
+        """Daemon-thread sidecar build for over-SQ8_SYNC_ROWS corpora.
+
+        Publishes the files, then installs under the entry lock. If the
+        folder was re-indexed meanwhile this entry is already orphaned
+        (the cache keys entries by manifest mtime) and the published
+        sidecar carries the OLD store_mtime stamp, so the fresh entry's
+        load() rejects it and rebuilds — never stale bounds."""
+        from .index.sq8 import SQ8Index
+
+        try:
+            sq8 = SQ8Index.build_from_reader(
+                reader, fetch=self.cfg.SQ8_FETCH, store_mtime=entry["mtime"]
+            )
+        except Exception as e:
+            log.warning("background SQ8 sidecar build failed (%s) — "
+                        "the host scan keeps serving this folder", e)
+            with entry["lock"]:
+                entry["sq8"] = None
+                entry["sq8_building"] = False
+            return
+        with entry["lock"]:
+            try:
+                self._install_sq8(entry, sq8, need)
+                if entry.get("sq8") is not None:
+                    log.info(
+                        "SQ8 sidecar ready: %d rows now served by the "
+                        "certified device tier", reader.count,
+                    )
+            finally:
+                entry["sq8_building"] = False
 
     def _ivf_host_search_batch(self, ivf, queries: np.ndarray, k: int):
         """Batch of host IVF probes, padded to the device search_batch

@@ -88,11 +88,23 @@ def quantize_rows(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n, d = a.shape
     m = np.abs(a).max(axis=1)
     scale = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
-    e8 = np.clip(np.rint(a / scale[:, None]), -127, 127).astype(np.int8)
-    ef = e8.astype(np.float64)
-    r = a.astype(np.float64) - scale.astype(np.float64)[:, None] * ef
-    rnorm = np.sqrt((r * r).sum(axis=1))
-    anorm = scale.astype(np.float64) * np.sqrt((ef * ef).sum(axis=1))
+    # One reused f32 buffer, in-place ops throughout: the f64-temporary
+    # formulation ran at 6.6k rows/s on this host (50 min for a 20M
+    # sidecar); this one measures 70k rows/s with bit-identical e8. The
+    # f32 norm rounding (~1e-7 relative) is absorbed by the (1+4e-3)
+    # and 1.05 inflations with >1000x margin.
+    q = np.empty_like(a)
+    np.divide(a, scale[:, None], out=q)   # true divide: e8 must match
+    np.rint(q, out=q)                     # quantize_rows_device exactly
+    np.minimum(q, np.float32(127.0), out=q)
+    np.maximum(q, np.float32(-127.0), out=q)
+    e8 = q.astype(np.int8)
+    anorm = scale * np.sqrt(
+        (q * q).sum(axis=1, dtype=np.float64)
+    ).astype(np.float32)
+    q *= scale[:, None]                   # q := scale*ef
+    np.subtract(a, q, out=q)              # q := residual r
+    rnorm = np.sqrt((q * q).sum(axis=1, dtype=np.float64)).astype(np.float32)
     radd = (
         rnorm * (1 + 4e-3)
         + anorm * (C_BF16 + 2.0 * d * 2.0 ** -24) * 1.05
@@ -196,10 +208,19 @@ class SQ8Index:
 
     @classmethod
     def build_from_reader(cls, reader, fetch: int = DEFAULT_FETCH,
-                          chunk: int = 1 << 18) -> "SQ8Index":
+                          chunk: int = 1 << 18,
+                          store_mtime: float | None = None) -> "SQ8Index":
         """Quantize the store into staged sidecar files and publish them
         (write + rename — a crashed build never leaves a loadable
-        half-sidecar). Direct-to-memmap: peak host RAM is one chunk."""
+        half-sidecar). Direct-to-memmap: peak host RAM is one chunk.
+
+        ``store_mtime`` (the manifest mtime the caller's reader was
+        opened under) is stamped into the meta: a build that races a
+        re-index publishes sidecar files NEWER than the new manifest,
+        which the engine's file-mtime freshness rule alone would accept
+        — but the stamp pins the sidecar to the exact store generation
+        its bounds were derived from (stale bounds are not upper bounds
+        for the new rows, so a mismatch must read as "no sidecar")."""
         root = Path(reader.root)
         tmp_bin = root / (_F_BIN + ".tmp")
         tmp_sc = root / (_F_SCALES + ".tmp")
@@ -217,10 +238,13 @@ class SQ8Index:
                 off += len(q8)
         e8.flush()
         scal2.flush()
-        tmp_meta.write_text(json.dumps({
+        meta = {
             "version": _SQ8_VERSION, "count": n, "dim": d,
             "src_dtype": reader.dtype_name,
-        }))
+        }
+        if store_mtime is not None:
+            meta["store_mtime"] = store_mtime
+        tmp_meta.write_text(json.dumps(meta))
         # bins first, meta LAST: the meta rename publishes the sidecar
         tmp_bin.replace(root / _F_BIN)
         tmp_sc.replace(root / _F_SCALES)
@@ -235,11 +259,15 @@ class SQ8Index:
         )
 
     @classmethod
-    def load(cls, reader, fetch: int = DEFAULT_FETCH) -> "SQ8Index | None":
+    def load(cls, reader, fetch: int = DEFAULT_FETCH,
+             store_mtime: float | None = None) -> "SQ8Index | None":
         """Open a persisted sidecar; None on any anomaly (missing files,
         count/dim/dtype mismatch, short bins) — the engine then rebuilds.
-        Staleness vs the store manifest is the CALLER's check (same
-        mtime rule as the IVF sidecars)."""
+        Coarse staleness vs the store manifest is the CALLER's check
+        (same file-mtime rule as the IVF sidecars); pass ``store_mtime``
+        to additionally require the build-time stamp to match the exact
+        store generation (sidecars written before the stamp existed
+        carry none and pass — the file-mtime rule covers them)."""
         root = Path(reader.root)
         try:
             meta = json.loads((root / _F_META).read_text())
@@ -248,6 +276,12 @@ class SQ8Index:
                 or meta.get("count") != reader.count
                 or meta.get("dim") != reader.dim
                 or meta.get("src_dtype") != reader.dtype_name
+            ):
+                return None
+            if (
+                store_mtime is not None
+                and "store_mtime" in meta
+                and meta["store_mtime"] != store_mtime
             ):
                 return None
             n, d = reader.count, reader.dim

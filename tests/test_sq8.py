@@ -326,3 +326,63 @@ def test_engine_sq8_batcher_path(monkeypatch, tmp_path):
         assert eng.counters.snapshot()["sq8_queries"] >= 1
     finally:
         eng.close()
+
+
+def test_engine_sq8_async_build_over_sync_threshold(monkeypatch, tmp_path):
+    """Above SQ8_SYNC_ROWS the first query must NOT stall on the build:
+    it serves exact results via the host scan while a daemon thread
+    builds the sidecar; once published, queries ride the device tier."""
+    import time
+
+    folder = tmp_path / "a"
+    emb = _make_index(folder, 7000, seed=5)
+    eng = _engine(monkeypatch, tmp_path, budget_mb=2,
+                  EVOSSEARCH_SQ8_SYNC_ROWS="1000")
+    q = np.random.default_rng(21).standard_normal(D).astype(np.float32)
+    q /= np.linalg.norm(q)
+    es, ei = _oracle(emb, q[None], 10)
+
+    s, i, _ = eng.search_embedding(str(folder), q, 10)
+    np.testing.assert_array_equal(i, ei[0])  # host scan, still exact
+    snap = eng.counters.snapshot()
+    assert snap["sq8_async_builds"] == 1
+    assert snap.get("sq8_queries", 0) == 0
+
+    entry = eng._index_cache[_canon(str(folder))]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        with entry["lock"]:
+            if not entry.get("sq8_building") and "sq8" in entry:
+                break
+        time.sleep(0.02)
+    assert entry.get("sq8") is not None  # build + install succeeded
+    assert (folder / ".clip_index" / "sq8.bin").exists()
+
+    s2, i2, _ = eng.search_embedding(str(folder), q, 10)
+    np.testing.assert_array_equal(i2, ei[0])
+    snap = eng.counters.snapshot()
+    assert snap["sq8_queries"] == 1  # second query rode the tier
+    assert snap["sq8_async_builds"] == 1  # no duplicate thread
+
+
+def test_sq8_store_mtime_stamp_rejects_cross_generation_sidecar(tmp_path):
+    """The build-time stamp pins a sidecar to its store generation: a
+    build racing a re-index publishes files NEWER than the new manifest
+    (the coarse file-mtime rule alone would accept them), but its bounds
+    were derived from the OLD rows — load must reject on stamp mismatch
+    so stale bounds can never certify wrong results."""
+    from evossearch_tpu.index.store import IndexReader
+
+    folder = tmp_path / "a"
+    _make_index(folder, 500, seed=6)
+    reader = IndexReader.open(folder)
+    SQ8Index.build_from_reader(reader, store_mtime=123.0)
+    assert SQ8Index.load(reader, store_mtime=123.0) is not None
+    assert SQ8Index.load(reader, store_mtime=124.0) is None  # wrong gen
+    assert SQ8Index.load(reader) is not None  # caller opts out -> coarse rule
+    # pre-stamp sidecars (no store_mtime key) keep loading under any stamp
+    meta_p = folder / ".clip_index" / "sq8.json"
+    meta = json.loads(meta_p.read_text())
+    del meta["store_mtime"]
+    meta_p.write_text(json.dumps(meta))
+    assert SQ8Index.load(reader, store_mtime=999.0) is not None
