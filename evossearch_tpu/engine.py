@@ -1063,6 +1063,14 @@ class SearchEngine:
             from .index.sq8 import SQ8Index
 
             need = reader.count * (reader.dim + 8)
+            if self._resolve_kernel() == "sharded":
+                # the sidecar row-shards over the mesh (SQ8ShardedIndex);
+                # budget is per chip, like every sharded corpus tensor
+                import jax as _jax
+
+                need //= max(
+                    self.cfg.MESH_DEVICES or len(_jax.devices()), 1
+                )
             budget = self._hbm_budget
             if not (
                 self.cfg.SQ8 != "off"
@@ -1121,6 +1129,10 @@ class SearchEngine:
         """Reserve HBM and materialize a built/loaded sidecar; on any
         device failure the folder keeps serving via the host scan.
         Caller holds entry['lock']."""
+        if self._resolve_kernel() == "sharded":
+            from .parallel import SQ8ShardedIndex, corpus_mesh
+
+            sq8 = SQ8ShardedIndex(sq8, corpus_mesh(self.cfg.MESH_DEVICES))
         self._reserve_device_bytes(entry, need)
         try:
             sq8.ensure_device()
