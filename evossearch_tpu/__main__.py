@@ -133,6 +133,16 @@ def main(argv: list[str] | None = None) -> int:
     p_train.add_argument("--model", default=None,
                          help="CLIP variant (default: EVOSSEARCH_CLIP_MODEL)")
 
+    p_sq8 = sub.add_parser(
+        "sq8",
+        help="prebuild the SQ8 capacity-tier sidecar for an indexed "
+             "folder (production warm-up: otherwise it builds on the "
+             "first over-HBM-budget query; no device needed)",
+    )
+    p_sq8.add_argument("folder")
+    p_sq8.add_argument("--force", action="store_true",
+                       help="rebuild even when a fresh sidecar exists")
+
     p_conv = sub.add_parser(
         "convert",
         help="convert an OpenAI .pt / HF CLIP checkpoint to the native "
@@ -192,6 +202,36 @@ def main(argv: list[str] | None = None) -> int:
 
     from .core import config
     from .engine import SearchEngine
+
+    if args.command == "sq8":
+        import time as _time
+
+        from .index.sq8 import SQ8Index
+        from .index.store import IndexReader
+
+        reader = IndexReader.open(args.folder, config.INDEX_FOLDER_NAME)
+        if reader is None:
+            print("Folder not indexed", file=sys.stderr)
+            return 1
+        mt = reader.mtime()
+        if not args.force:
+            smt = SQ8Index.sidecar_mtime(reader)
+            if smt is not None and smt >= mt and SQ8Index.load(
+                reader, store_mtime=mt
+            ) is not None:
+                print(json.dumps(
+                    {"success": True, "count": reader.count, "built": False}
+                ))
+                return 0
+        t0 = _time.time()
+        SQ8Index.build_from_reader(
+            reader, fetch=config.SQ8_FETCH, store_mtime=mt
+        )
+        print(json.dumps({
+            "success": True, "count": reader.count, "built": True,
+            "seconds": round(_time.time() - t0, 1),
+        }))
+        return 0
 
     if args.command == "serve":
         from .server.__main__ import main as serve_main

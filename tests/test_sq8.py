@@ -386,3 +386,24 @@ def test_sq8_store_mtime_stamp_rejects_cross_generation_sidecar(tmp_path):
     del meta["store_mtime"]
     meta_p.write_text(json.dumps(meta))
     assert SQ8Index.load(reader, store_mtime=999.0) is not None
+
+
+def test_cli_sq8_prebuild(tmp_path, capsys, monkeypatch):
+    """`python -m evossearch_tpu sq8 <folder>` prebuilds the sidecar
+    (no device, no model init); a second run is a fresh-sidecar no-op."""
+    for k in ("EVOSSEARCH_CHECKPOINT", "EVOSSEARCH_BPE_VOCAB"):
+        monkeypatch.delenv(k, raising=False)
+    from evossearch_tpu.__main__ import main as cli_main
+
+    folder = tmp_path / "a"
+    _make_index(folder, 1000, seed=8)
+    assert cli_main(["sq8", str(folder)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["built"] is True and out["count"] == 1000
+    assert (folder / ".clip_index" / "sq8.bin").exists()
+
+    assert cli_main(["sq8", str(folder)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["built"] is False
+
+    assert cli_main(["sq8", str(tmp_path / "nope")]) == 1
