@@ -1129,6 +1129,7 @@ class SearchEngine:
         """Reserve HBM and materialize a built/loaded sidecar; on any
         device failure the folder keeps serving via the host scan.
         Caller holds entry['lock']."""
+        sq8.counters = self.counters  # uncertified fallbacks -> /stats
         if self._resolve_kernel() == "sharded":
             from .parallel import SQ8ShardedIndex, corpus_mesh
 

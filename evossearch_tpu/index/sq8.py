@@ -203,6 +203,10 @@ class SQ8Index:
         self.tile_rows = tile_rows or SQ8_TILE_ROWS
         self._e8_d = None
         self._scal2_d = None
+        # optional evossearch_tpu.utils counters sink (the engine sets it
+        # at install time); uncertified fallbacks land in
+        # `sq8_fallback_queries` so operators can see certificate health
+        self.counters = None
 
     # -- persistence ------------------------------------------------------
 
@@ -415,6 +419,8 @@ class SQ8Index:
             if not ok:
                 fail.append(qi)
         if fail:
+            if self.counters is not None:
+                self.counters.add("sq8_fallback_queries", len(fail))
             from .search import exact_search_host_reader_batch
 
             fs, fi = exact_search_host_reader_batch(

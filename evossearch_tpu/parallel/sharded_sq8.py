@@ -235,6 +235,8 @@ class SQ8ShardedIndex:
             if not ok:
                 fail.append(qi)
         if fail:
+            if self.base.counters is not None:
+                self.base.counters.add("sq8_fallback_queries", len(fail))
             from ..index.search import exact_search_host_reader_batch
 
             fs, fi = exact_search_host_reader_batch(

@@ -407,3 +407,28 @@ def test_cli_sq8_prebuild(tmp_path, capsys, monkeypatch):
     assert out["built"] is False
 
     assert cli_main(["sq8", str(tmp_path / "nope")]) == 1
+
+
+def test_engine_counts_sq8_fallbacks(monkeypatch, tmp_path):
+    """Uncertified queries surface as sq8_fallback_queries in /stats:
+    a mass-tie corpus (flat bound plateau at the certificate boundary)
+    forces fallbacks while results stay exact."""
+    folder = tmp_path / "a"
+    folder.mkdir()
+    rng = np.random.default_rng(31)
+    emb = rng.standard_normal((7000, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb[::2] = emb[0]  # 3500 identical rows: k-th score ties everywhere
+    w = IndexWriter.create(folder, model="tiny", dim=D, dtype_name="float32")
+    paths = [str(folder / f"i{j}.jpg") for j in range(7000)]
+    w.append(emb, paths, [{"path": p, "mtime": 1.0, "size": 1} for p in paths])
+    w.finalize()
+    eng = _engine(monkeypatch, tmp_path, budget_mb=2)
+    q = emb[0] + 1e-5 * rng.standard_normal(D).astype(np.float32)
+    q = (q / np.linalg.norm(q)).astype(np.float32)
+    s, i, _ = eng.search_embedding(str(folder), q, 48)
+    es, ei = _oracle(emb, q[None], 48)
+    np.testing.assert_array_equal(i, ei[0])
+    snap = eng.counters.snapshot()
+    assert snap["sq8_queries"] == 1
+    assert snap.get("sq8_fallback_queries", 0) == 1  # plateau -> fallback
