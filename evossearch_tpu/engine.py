@@ -720,6 +720,30 @@ class SearchEngine:
             limit = 0
         return int(limit * 0.8) if limit else None
 
+    def hbm_snapshot(self) -> dict:
+        """Device-byte accounting for /stats: the per-chip budget and
+        every cached folder's reserved bytes + route verdict."""
+        budget = self._hbm_budget
+        entries = {}
+        with self._cache_lock:
+            for key, e in self._index_cache.items():
+                entries[key] = {
+                    "device_bytes": e.get("device_bytes", 0),
+                    "fits_device": e.get("fits_device"),
+                    "tiers": [
+                        f for f in (
+                            "emb", "sharded", "ivf", "sharded_ivf", "sq8",
+                        ) if e.get(f) is not None
+                    ],
+                }
+        return {
+            "budget_bytes": budget,
+            "reserved_bytes": sum(
+                e["device_bytes"] for e in entries.values()
+            ),
+            "folders": entries,
+        }
+
     def _corpus_device_bytes(self, reader) -> int:
         itemsize = 2 if reader.dtype_name == "bfloat16" else 4
         return reader.count * reader.dim * itemsize

@@ -446,6 +446,7 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
                 "counters": engine.counters.snapshot(),
                 "stage_timers": engine.timers.snapshot(),
                 "model": engine.spec.name,
+                "hbm": engine.hbm_snapshot(),
             }
         )
 

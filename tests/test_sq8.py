@@ -432,3 +432,18 @@ def test_engine_counts_sq8_fallbacks(monkeypatch, tmp_path):
     snap = eng.counters.snapshot()
     assert snap["sq8_queries"] == 1
     assert snap.get("sq8_fallback_queries", 0) == 1  # plateau -> fallback
+
+
+def test_stats_hbm_snapshot(monkeypatch, tmp_path):
+    """/stats "hbm" block: budget, reserved bytes, per-folder tier list."""
+    folder = tmp_path / "a"
+    _make_index(folder, 7000, seed=9)
+    eng = _engine(monkeypatch, tmp_path, budget_mb=2)
+    q = np.random.default_rng(33).standard_normal(D).astype(np.float32)
+    q /= np.linalg.norm(q)
+    eng.search_embedding(str(folder), q, 5)
+    snap = eng.hbm_snapshot()
+    assert snap["budget_bytes"] == 2 << 20
+    (fo,) = snap["folders"].values()
+    assert fo["tiers"] == ["sq8"] and fo["fits_device"] is False
+    assert snap["reserved_bytes"] == fo["device_bytes"] == 7000 * (D + 8)
