@@ -179,6 +179,46 @@ def _sq8_select(e8, scal2, queries, fetch: int, tile_rows: int,
     )
 
 
+def rerank_and_certify(index, queries: np.ndarray, ids: np.ndarray,
+                       finite: np.ndarray, k: int, cert):
+    """Shared host half of both SQ8 tiers (one-chip and mesh-sharded):
+    gather the candidate rows off the mmap store, rerank every query
+    with ONE BLAS GEMM, rank under the (score desc, index asc) tie
+    contract, and rerun queries whose certificate fails through the
+    host exact scan. ``cert(qi, m)`` decides, given the k-th reranked
+    score m, whether query qi's result is proven exact — the only part
+    that differs between the tiers."""
+    nq = queries.shape[0]
+    uniq = np.unique(ids)
+    rows = index._gather_rows(uniq)
+    rq = index._rerank_queries(queries)
+    rs = rows @ rq.T  # (m, Q): one BLAS GEMM reranks every query
+    pos = np.searchsorted(uniq, ids)
+
+    out_s = np.empty((nq, k), np.float32)
+    out_i = np.empty((nq, k), np.int64)
+    fail: list[int] = []
+    for qi in range(nq):
+        s = np.where(finite[qi], rs[pos[qi], qi], -np.inf)
+        order = np.lexsort((ids[qi], -s))[:k]
+        out_s[qi] = s[order]
+        out_i[qi] = ids[qi][order]
+        m = out_s[qi, k - 1]
+        if not (np.isfinite(m) and cert(qi, m)):
+            fail.append(qi)
+    if fail:
+        if index.counters is not None:
+            index.counters.add("sq8_fallback_queries", len(fail))
+        from .search import exact_search_host_reader_batch
+
+        fs, fi = exact_search_host_reader_batch(
+            index.reader, queries[fail], k
+        )
+        out_s[fail] = fs
+        out_i[fail] = fi
+    return out_s, out_i
+
+
 class SQ8Index:
     """Int8 sidecar + certified search over a shard-store reader.
 
@@ -395,37 +435,10 @@ class SQ8Index:
         finite = np.isfinite(fb) & (fb > np.float32(np.finfo(np.float32).min) / 2)
         ids = np.where(finite, ids, 0)
 
-        uniq = np.unique(ids)
-        rows = self._gather_rows(uniq)
-        rq = self._rerank_queries(queries)
-        rs = rows @ rq.T  # (m, Q) — one BLAS GEMM reranks every query
-        pos = np.searchsorted(uniq, ids)
-
-        out_s = np.empty((nq, k), np.float32)
-        out_i = np.empty((nq, k), np.int64)
-        fail: list[int] = []
-        for qi in range(nq):
-            s = np.where(finite[qi], rs[pos[qi], qi], -np.inf)
-            i = ids[qi]
-            order = np.lexsort((i, -s))[:k]
-            out_s[qi] = s[order]
-            out_i[qi] = i[order]
-            m = out_s[qi, k - 1]
-            ok = (
-                np.isfinite(m)
-                and m3max[qi] < m
+        def cert(qi: int, m: float) -> bool:
+            return bool(
+                m3max[qi] < m
                 and (full_fetch or (cnt_ok[qi] and m >= mf[qi]))
             )
-            if not ok:
-                fail.append(qi)
-        if fail:
-            if self.counters is not None:
-                self.counters.add("sq8_fallback_queries", len(fail))
-            from .search import exact_search_host_reader_batch
 
-            fs, fi = exact_search_host_reader_batch(
-                self.reader, queries[fail], k
-            )
-            out_s[fail] = fs
-            out_i[fail] = fi
-        return out_s, out_i
+        return rerank_and_certify(self, queries, ids, finite, k, cert)

@@ -205,43 +205,20 @@ class SQ8ShardedIndex:
         finite = np.isfinite(gb) & (gb > NEG_INF / 2)
         ids = np.where(finite & (ids < self.n), ids, 0)
 
-        uniq = np.unique(ids)
-        rows = self.base._gather_rows(uniq)
-        rq = self.base._rerank_queries(queries)
-        rs = rows @ rq.T  # (m, Q): one BLAS GEMM reranks every query
-        pos = np.searchsorted(uniq, ids)
-
         n_shards = int(self.mesh.devices.size)
-        out_s = np.empty((nq, k), np.float32)
-        out_i = np.empty((nq, k), np.int64)
-        fail: list[int] = []
-        for qi in range(nq):
-            s = np.where(finite[qi], rs[pos[qi], qi], -np.inf)
-            order = np.lexsort((ids[qi], -s))[:k]
-            out_s[qi] = s[order]
-            out_i[qi] = ids[qi][order]
-            m = out_s[qi, k - 1]
+
+        def cert(qi: int, m: float) -> bool:
             # Three drop sites, three terms: rows a shard never fetched
             # (cnt_ok + m >= mf_s, both vacuous when the fetch covered
             # the shard's whole candidate set), candidates the global
             # merge dropped (m >= mf_g; only exists with >1 shard), and
             # rows the kernel's tree reduction dropped (m3 < m).
-            ok = (
-                np.isfinite(m)
-                and m3_g[qi] < m
+            return bool(
+                m3_g[qi] < m
                 and (n_shards == 1 or m >= mf_g[qi])
                 and (full_fetch or (cnt_all[qi] and m >= mf_max[qi]))
             )
-            if not ok:
-                fail.append(qi)
-        if fail:
-            if self.base.counters is not None:
-                self.base.counters.add("sq8_fallback_queries", len(fail))
-            from ..index.search import exact_search_host_reader_batch
 
-            fs, fi = exact_search_host_reader_batch(
-                self.base.reader, queries[fail], k
-            )
-            out_s[fail] = fs
-            out_i[fail] = fi
-        return out_s, out_i
+        from ..index.sq8 import rerank_and_certify
+
+        return rerank_and_certify(self.base, queries, ids, finite, k, cert)
