@@ -630,11 +630,15 @@ def _tree_candidates(
     )(queries_padded, emb)
 
 
-# SQ8 tile: int8 halves the per-tile VMEM of the bf16 tree tile, but the
-# in-kernel bf16 widening materializes a second copy, so the live set is
-# comparable — keep the tree kernel's measured-optimal candidate density
-# (one 256-column candidate block per 16384 corpus rows).
-SQ8_TILE_ROWS = 16384
+# SQ8 tile: unlike the tree kernel, the SQ8 select is MERGE-bound — the
+# post-kernel ApproxTopK over fetch=512 degenerates to a full top-k of
+# the (Q, candidates) tensor, so halving the candidate density (one
+# 256-column block per 32768 rows) buys more than the kernel loses:
+# measured at 20M rows, 41.5 ms vs 55.9 ms net select (263 vs 195 GB/s)
+# with the counting certificate still 48/48. 65536 exceeds the 100 MB
+# scoped-VMEM limit (117.85 MB stack). The class certificate keeps
+# 128 * n/tile cells to spread the top-k over — 82k at 20M, ample.
+SQ8_TILE_ROWS = 32768
 
 
 def sq8_candidates(
