@@ -136,28 +136,47 @@ class SQ8ShardedIndex:
         return self.rows_per_shard * (self.dim + 8)
 
     def ensure_device(self) -> None:
+        """Materialize the sidecar shard-by-shard: each addressable
+        device's slice is read straight off the sidecar mmap (tail
+        padding synthesized in place), so no host ever holds the whole
+        padded corpus in RAM — at the 8-chip flagship scale (160M rows,
+        ~83 GB int8) a device_put of one concatenated array would
+        need 2x that transiently."""
         if self._e8_d is not None:
             return
-        e8 = np.asarray(self.base.e8)
-        scal2 = np.asarray(self.base.scal2)
-        if self.n_pad != self.n:
-            pad = self.n_pad - self.n
-            e8 = np.concatenate(
-                [e8, np.zeros((pad, self.dim), np.int8)], axis=0
-            )
-            scal2 = np.concatenate(
-                [scal2,
-                 np.stack([np.zeros(pad, np.float32),
-                           np.full(pad, NEG_INF, np.float32)])],
-                axis=1,
-            )
-        self._e8_d = jax.device_put(
-            np.ascontiguousarray(e8),
+        n, d, n_pad = self.n, self.dim, self.n_pad
+        e8_src, scal2_src = self.base.e8, self.base.scal2
+
+        def e8_shard(idx):
+            sl = idx[0]
+            start, stop, _ = sl.indices(n_pad)
+            out = np.zeros((stop - start, d), np.int8)
+            valid = max(0, min(n, stop) - start)
+            if valid:
+                out[:valid] = e8_src[start : start + valid]
+            return out
+
+        def scal2_shard(idx):
+            sl = idx[1]
+            start, stop, _ = sl.indices(n_pad)
+            out = np.stack([
+                np.zeros(stop - start, np.float32),
+                np.full(stop - start, NEG_INF, np.float32),
+            ])  # pad rows: scale 0, bound -inf — never fetched
+            valid = max(0, min(n, stop) - start)
+            if valid:
+                out[:, :valid] = scal2_src[:, start : start + valid]
+            return out
+
+        self._e8_d = jax.make_array_from_callback(
+            (n_pad, d),
             NamedSharding(self.mesh, P(CORPUS_AXIS, None)),
+            e8_shard,
         )
-        self._scal2_d = jax.device_put(
-            np.ascontiguousarray(scal2),
+        self._scal2_d = jax.make_array_from_callback(
+            (2, n_pad),
             NamedSharding(self.mesh, P(None, CORPUS_AXIS)),
+            scal2_shard,
         )
 
     def search_batch(self, queries: np.ndarray, k: int):
