@@ -876,9 +876,9 @@ class SearchEngine:
                     )
                     self._reserve_device_bytes(entry, need)
                     try:
-                        sharded = ShardedIndex.from_matrix(
-                            np.asarray(reader.embeddings()), mesh=mesh
-                        )
+                        # straight off the mmap, one shard per callback —
+                        # no whole-corpus host copy
+                        sharded = ShardedIndex.from_reader(reader, mesh=mesh)
                     except BaseException:
                         self._release_device_bytes(entry, need)
                         raise

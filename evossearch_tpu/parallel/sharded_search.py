@@ -190,6 +190,48 @@ class ShardedIndex:
     mesh: Mesh
 
     @classmethod
+    def from_reader(
+        cls, reader, mesh: Mesh | None = None, n_devices: int = 0
+    ) -> "ShardedIndex":
+        """Place a shard-store corpus onto the mesh straight off the
+        mmap: each addressable device's row range is read (and its tail
+        zero-padded) in its own callback, so no host materializes the
+        whole corpus — from_matrix needs corpus + pad in host RAM, which
+        at mesh scale (N x one chip's HBM of rows) is exactly the RAM a
+        host doesn't have, and on a multi-host pod each host should only
+        touch its own shards anyway."""
+        mesh = mesh or corpus_mesh(n_devices)
+        n_dev = mesh.devices.size
+        n, d = reader.count, reader.dim
+        rows = -(-max(n, 1) // n_dev)
+        n_pad = rows * n_dev
+        dtype = reader.shard_arrays()[0].dtype if n else np.float32
+        shards = reader.shard_arrays()
+
+        def emb_shard(idx):
+            start, stop, _ = idx[0].indices(n_pad)
+            out = np.zeros((stop - start, d), dtype)
+            off = 0
+            for sh in shards:
+                hi = off + sh.shape[0]
+                lo_, hi_ = max(start, off), min(stop, hi)
+                if lo_ < hi_:
+                    out[lo_ - start : hi_ - start] = sh[lo_ - off : hi_ - off]
+                off = hi
+            return out
+
+        counts = np.minimum(
+            np.maximum(n - rows * np.arange(n_dev), 0), rows
+        ).astype(np.int32)
+        emb = jax.make_array_from_callback(
+            (n_pad, d), NamedSharding(mesh, P(CORPUS_AXIS, None)), emb_shard
+        )
+        counts_dev = jax.device_put(
+            counts, NamedSharding(mesh, P(CORPUS_AXIS))
+        )
+        return cls(emb=emb, counts=counts_dev, n=n, mesh=mesh)
+
+    @classmethod
     def from_matrix(
         cls, matrix: np.ndarray, mesh: Mesh | None = None, n_devices: int = 0
     ) -> "ShardedIndex":

@@ -227,14 +227,14 @@ def test_reservation_precedes_device_put(monkeypatch, tmp_path):
     entry, reader = eng._cached_index(str(folder))
 
     seen = {}
-    orig_fm = ShardedIndex.from_matrix.__func__
+    orig_fr = ShardedIndex.from_reader.__func__
 
-    def spy_from_matrix(cls, matrix, mesh=None, n_devices=0):
+    def spy_from_reader(cls, reader_, mesh=None, n_devices=0):
         seen["sharded_reserved"] = entry.get("device_bytes", 0) > 0
-        return orig_fm(cls, matrix, mesh=mesh, n_devices=n_devices)
+        return orig_fr(cls, reader_, mesh=mesh, n_devices=n_devices)
 
     monkeypatch.setattr(
-        ShardedIndex, "from_matrix", classmethod(spy_from_matrix)
+        ShardedIndex, "from_reader", classmethod(spy_from_reader)
     )
     eng._entry_sharded(entry, reader)
     assert seen["sharded_reserved"] is True

@@ -158,3 +158,35 @@ class TestCertifiedShardedPath:
 
         es, ei = exact_search_batch(matrix, queries, 16)
         np.testing.assert_array_equal(di, ei)
+
+
+def test_from_reader_equals_from_matrix(tmp_path):
+    """Mmap-direct placement (per-shard callbacks, no whole-corpus host
+    copy) produces identical search results to from_matrix, including a
+    padded tail shard and multi-file stores."""
+    import numpy as np
+
+    from evossearch_tpu.index.store import IndexReader, IndexWriter
+    from evossearch_tpu.parallel import ShardedIndex
+
+    rng = np.random.default_rng(17)
+    n, d = 1003, 128  # prime-ish: tail shard padding + uneven split
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    w = IndexWriter.create(tmp_path, model="t", dim=d, dtype_name="float32")
+    paths = [f"p{i}.jpg" for i in range(n)]
+    # two appends -> two shard files, exercising the cross-shard read
+    w.append(emb[:600], paths[:600],
+             [{"path": p, "mtime": 1.0, "size": 1} for p in paths[:600]])
+    w.append(emb[600:], paths[600:],
+             [{"path": p, "mtime": 1.0, "size": 1} for p in paths[600:]])
+    w.finalize()
+    reader = IndexReader.open(tmp_path)
+    queries = rng.standard_normal((4, d)).astype(np.float32)
+
+    a = ShardedIndex.from_reader(reader, n_devices=8)
+    b = ShardedIndex.from_matrix(emb, n_devices=8)
+    sa, ia = a.search_batch(queries, 15)
+    sb, ib = b.search_batch(queries, 15)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(sa, sb)
