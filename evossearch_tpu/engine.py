@@ -854,7 +854,10 @@ class SearchEngine:
                     need = self._corpus_device_bytes(reader)
                     self._reserve_device_bytes(entry, need)
                     try:
-                        emb = jnp.asarray(np.asarray(reader.embeddings()))
+                        # single-shard stores: embeddings() is the mmap
+                        # view itself — device_put straight from the page
+                        # cache, no intermediate whole-corpus RAM copy
+                        emb = jnp.asarray(reader.embeddings())
                     except BaseException:
                         self._release_device_bytes(entry, need)
                         raise
