@@ -855,8 +855,10 @@ class SearchEngine:
                     self._reserve_device_bytes(entry, need)
                     try:
                         # single-shard stores: embeddings() is the mmap
-                        # view itself — device_put straight from the page
-                        # cache, no intermediate whole-corpus RAM copy
+                        # view; the device copy reads it through the
+                        # page cache (np.asarray on a memmap is a no-op
+                        # view — the host-RAM copy only ever existed for
+                        # multi-file stores, whose concatenate remains)
                         emb = jnp.asarray(reader.embeddings())
                     except BaseException:
                         self._release_device_bytes(entry, need)
