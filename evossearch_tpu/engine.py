@@ -1197,6 +1197,23 @@ class SearchEngine:
             return
         with entry["lock"]:
             try:
+                with self._cache_lock:
+                    live = any(
+                        e is entry for e in self._index_cache.values()
+                    )
+                if not live:
+                    # the folder was re-indexed (or evicted) mid-build:
+                    # this entry is orphaned and the published sidecar
+                    # carries the old generation stamp — installing
+                    # corpus-sized device arrays nobody can reach would
+                    # only squat HBM until GC
+                    log.info(
+                        "folder changed during the background SQ8 build "
+                        "— discarding the stale install (the fresh entry "
+                        "rebuilds against the new store)",
+                    )
+                    entry["sq8"] = None
+                    return
                 self._install_sq8(entry, sq8, need)
                 if entry.get("sq8") is not None:
                     log.info(

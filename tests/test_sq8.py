@@ -447,3 +447,41 @@ def test_stats_hbm_snapshot(monkeypatch, tmp_path):
     (fo,) = snap["folders"].values()
     assert fo["tiers"] == ["sq8"] and fo["fits_device"] is False
     assert snap["reserved_bytes"] == fo["device_bytes"] == 7000 * (D + 8)
+
+
+def test_async_build_discards_install_when_entry_orphaned(
+    monkeypatch, tmp_path
+):
+    """A background build finishing AFTER its folder was re-indexed (or
+    evicted) must not install corpus-sized device arrays on the orphaned
+    entry — the fresh entry rebuilds against the new store."""
+    import threading
+    import time
+
+    from evossearch_tpu.index.sq8 import SQ8Index
+
+    folder = tmp_path / "a"
+    _make_index(folder, 7000, seed=41)
+    eng = _engine(monkeypatch, tmp_path, budget_mb=2,
+                  EVOSSEARCH_SQ8_SYNC_ROWS="1000")
+    release = threading.Event()
+    orig = SQ8Index.build_from_reader.__func__
+
+    def slow_build(cls, reader, **kw):
+        release.wait(30)
+        return orig(cls, reader, **kw)
+
+    monkeypatch.setattr(
+        SQ8Index, "build_from_reader", classmethod(slow_build)
+    )
+    q = np.random.default_rng(43).standard_normal(D).astype(np.float32)
+    eng.search_embedding(str(folder), q, 5)  # kicks off the async build
+    entry = eng._index_cache[_canon(str(folder))]
+    assert entry.get("sq8_building") is True
+    eng._index_cache.pop(_canon(str(folder)))  # orphan it (re-index/evict)
+    release.set()
+    deadline = time.time() + 30
+    while time.time() < deadline and entry.get("sq8_building"):
+        time.sleep(0.02)
+    assert entry.get("sq8") is None  # discarded, not installed
+    assert entry.get("device_bytes", 0) == 0
