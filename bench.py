@@ -663,7 +663,8 @@ def bench_sq8() -> None:
             packed[qi, -2] > 0 and s[-1] >= packed[qi, fetch - 1]
             and packed[qi, -1] < s[-1]
         )
-    gbps = n * (DIM + 8) / ((t_wall - 25.0) * 1e-3) / 1e9  # ~floor-adjusted
+    # ~floor-adjusted; clamp so a fast relay day can't print negative GB/s
+    gbps = n * (DIM + 8) / (max(t_wall - 25.0, 1.0) * 1e-3) / 1e9
     log(f"SQ8 20M rows EXACT, batched {QUERY_BATCH}: select p50 "
         f"{t_wall:.1f}ms wall = {t_wall / QUERY_BATCH:.3f} ms/query "
         f"(~{gbps:.0f} GB/s sweep), cert {certs}/{QUERY_BATCH} "

@@ -1214,6 +1214,13 @@ class SearchEngine:
                     )
                     entry["sq8"] = None
                     return
+                if entry.get("sq8") is not None:
+                    # build_from_reader publishes the files BEFORE this
+                    # lock is taken: a query thread in _entry_sq8's
+                    # locked section may have already loaded + installed
+                    # the just-published sidecar — installing again would
+                    # double-reserve device bytes with no release path
+                    return
                 self._install_sq8(entry, sq8, need)
                 if entry.get("sq8") is not None:
                     log.info(

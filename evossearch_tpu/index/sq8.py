@@ -403,6 +403,17 @@ class SQ8Index:
         if k == 0 or nq == 0:
             return (np.zeros((nq, k), np.float32),
                     np.zeros((nq, k), np.int64))
+        from ..ops.topk_pallas import LANES as _LANES
+
+        if nq > _LANES:
+            # the kernel reads only the first LANES query rows (fixed
+            # BlockSpec); chunk like pallas_search_batch does
+            parts = [
+                self.search_batch(queries[i : i + _LANES], k)
+                for i in range(0, nq, _LANES)
+            ]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
         self.ensure_device()
         tile = self.tile_rows
         grid = -(-self.n // tile)

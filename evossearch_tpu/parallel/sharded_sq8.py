@@ -117,7 +117,7 @@ class SQ8ShardedIndex:
     bounds are -inf and they can never be fetched."""
 
     def __init__(self, base, mesh: Mesh):
-        from ..ops.topk_pallas import SQ8_TILE_ROWS, TREE_CLASSES
+        from ..ops.topk_pallas import TREE_CLASSES
 
         self.base = base
         self.mesh = mesh
@@ -131,9 +131,6 @@ class SQ8ShardedIndex:
         self._shard_c_total = grid * 2 * TREE_CLASSES
         self._e8_d = None
         self._scal2_d = None
-
-    def device_bytes_per_chip(self) -> int:
-        return self.rows_per_shard * (self.dim + 8)
 
     def ensure_device(self) -> None:
         """Materialize the sidecar shard-by-shard: each addressable
@@ -192,6 +189,15 @@ class SQ8ShardedIndex:
         if k == 0 or nq == 0:
             return (np.zeros((nq, k), np.float32),
                     np.zeros((nq, k), np.int64))
+        if nq > LANES:
+            # the kernel reads only the first LANES query rows (fixed
+            # BlockSpec); chunk like pallas_search_batch does
+            parts = [
+                self.search_batch(queries[i : i + LANES], k)
+                for i in range(0, nq, LANES)
+            ]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
         self.ensure_device()
         fetch = min(max(self.fetch, k + 32), self._shard_c_total)
         full_fetch = fetch == self._shard_c_total
@@ -221,7 +227,14 @@ class SQ8ShardedIndex:
         mf_max = packed[:, -2]
         m3_g = packed[:, -1]
         mf_g = gb[:, -1]
-        finite = np.isfinite(gb) & (gb > NEG_INF / 2)
+        # The kernel's tail-masked cells carry the FINITE sentinel
+        # np.finfo(f32).min with aliased iota ids — the same /2
+        # threshold the one-chip tier uses (index/sq8.py) must filter
+        # them here, or full-fetch merges over small corpora admit
+        # sentinel candidates whose duplicate ids certify as results
+        finite = np.isfinite(gb) & (
+            gb > np.float32(np.finfo(np.float32).min) / 2
+        )
         ids = np.where(finite & (ids < self.n), ids, 0)
 
         n_shards = int(self.mesh.devices.size)

@@ -111,3 +111,43 @@ def test_engine_sharded_kernel_gets_sharded_sq8(monkeypatch, tmp_path):
     assert isinstance(entry["sq8"], SQ8ShardedIndex)
     assert entry["device_bytes"] == n * (D + 8) // 8
     assert eng.counters.snapshot()["sq8_queries"] == 1
+
+
+def test_tiny_corpus_full_fetch_no_duplicate_ids(tmp_path):
+    """Regression: the kernel's tail-masked cells carry the FINITE
+    sentinel np.finfo(f32).min with aliased iota ids. On a tiny corpus
+    with full fetch (fetch == per-shard candidate total) those cells
+    reach the global merge; filtering against -inf instead of the
+    sentinel admitted them, certifying top-k results with DUPLICATE ids
+    (one-chip filter: index/sq8.py). Every id must be unique and equal
+    to the oracle's."""
+    emb, reader = _store(tmp_path / "a", 100, seed=7)
+    base = SQ8Index.build_from_reader(reader)  # default fetch 512
+    base.tile_rows = 512
+    sharded = SQ8ShardedIndex(base, corpus_mesh(8))
+    queries = np.random.default_rng(8).standard_normal((3, D)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    s, i = sharded.search_batch(queries, 20)
+    es, ei = _oracle(emb, queries, 20)
+    for qi in range(3):
+        assert len(set(i[qi].tolist())) == 20, f"duplicate ids: {i[qi]}"
+    np.testing.assert_array_equal(i, ei)
+
+
+def test_over_128_query_batches_chunk(tmp_path):
+    """Both tiers must chunk batches past the kernel's 128 query lanes
+    (the BlockSpec reads only the first LANES rows) instead of crashing
+    or silently corrupting rows 128+."""
+    emb, reader = _store(tmp_path / "a", 2048, seed=9)
+    base = SQ8Index.build_from_reader(reader, fetch=64)
+    base.tile_rows = 512
+    queries = np.random.default_rng(10).standard_normal((130, D)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    es, ei = _oracle(emb, queries, 10)
+
+    s1, i1 = base.search_batch(queries, 10)
+    np.testing.assert_array_equal(i1, ei)
+
+    sharded = SQ8ShardedIndex(base, corpus_mesh(8))
+    s8, i8 = sharded.search_batch(queries, 10)
+    np.testing.assert_array_equal(i8, ei)

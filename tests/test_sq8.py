@@ -485,3 +485,47 @@ def test_async_build_discards_install_when_entry_orphaned(
         time.sleep(0.02)
     assert entry.get("sq8") is None  # discarded, not installed
     assert entry.get("device_bytes", 0) == 0
+
+
+def test_async_build_skips_install_when_query_already_installed(
+    monkeypatch, tmp_path
+):
+    """build_from_reader publishes the sidecar files BEFORE the builder
+    takes the entry lock; a query thread can load + install them first.
+    The builder must then skip its own install — a second _install_sq8
+    would double-reserve device bytes with no release path."""
+    import threading
+    import time
+
+    from evossearch_tpu.index.sq8 import SQ8Index
+
+    folder = tmp_path / "a"
+    _make_index(folder, 7000, seed=51)
+    eng = _engine(monkeypatch, tmp_path, budget_mb=2,
+                  EVOSSEARCH_SQ8_SYNC_ROWS="1000")
+    published = threading.Event()
+    release = threading.Event()
+    orig = SQ8Index.build_from_reader.__func__
+
+    def racing_build(cls, reader, **kw):
+        out = orig(cls, reader, **kw)  # files are on disk now
+        published.set()
+        release.wait(30)  # hold the builder before it takes the lock
+        return out
+
+    monkeypatch.setattr(
+        SQ8Index, "build_from_reader", classmethod(racing_build)
+    )
+    q = np.random.default_rng(53).standard_normal(D).astype(np.float32)
+    eng.search_embedding(str(folder), q, 5)  # async build kicks off
+    assert published.wait(30)
+    eng.search_embedding(str(folder), q, 5)  # loads the published files
+    entry = eng._index_cache[_canon(str(folder))]
+    assert entry.get("sq8") is not None  # query-side install happened
+    need = 7000 * (D + 8)
+    assert entry["device_bytes"] == need
+    release.set()
+    deadline = time.time() + 30
+    while time.time() < deadline and entry.get("sq8_building"):
+        time.sleep(0.02)
+    assert entry["device_bytes"] == need  # builder did NOT double-reserve
