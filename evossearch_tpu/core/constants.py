@@ -51,7 +51,10 @@ class CLIPModelSpec:
 
 
 # Dimension table for the variants the reference UI offers
-# (oldapp.py:1089-1091: ViT-B/32, ViT-B/16, ViT-L/14).
+# (oldapp.py:1089-1091: ViT-B/32, ViT-B/16, ViT-L/14), plus
+# ViT-L/14@336px — not in the reference dropdown, but `clip.load`
+# (oldapp.py:28) accepts it via EVOSSEARCH_CLIP_MODEL, so capability
+# parity requires the spec.
 CLIP_MODEL_SPECS: dict[str, CLIPModelSpec] = {
     "ViT-B/32": CLIPModelSpec(
         name="ViT-B/32",
@@ -72,6 +75,16 @@ CLIP_MODEL_SPECS: dict[str, CLIPModelSpec] = {
     "ViT-L/14": CLIPModelSpec(
         name="ViT-L/14",
         image_size=224, patch_size=14,
+        vision_width=1024, vision_layers=24, vision_heads=16,
+        text_width=768, text_layers=12, text_heads=12,
+        vocab_size=CLIP_VOCAB_SIZE, context_length=CLIP_CONTEXT_LENGTH,
+        embed_dim=768,
+    ),
+    # Same tower as ViT-L/14 at 336 px input: grid 24 -> 577 image tokens,
+    # vision positional embedding is the only larger tensor.
+    "ViT-L/14@336px": CLIPModelSpec(
+        name="ViT-L/14@336px",
+        image_size=336, patch_size=14,
         vision_width=1024, vision_layers=24, vision_heads=16,
         text_width=768, text_layers=12, text_heads=12,
         vocab_size=CLIP_VOCAB_SIZE, context_length=CLIP_CONTEXT_LENGTH,

@@ -149,7 +149,7 @@ PAGE = r"""<!DOCTYPE html>
   <div class="field"><label>Debug</label><input type="checkbox" id="s_debug"></div>
   <div class="field"><label>CLIP model</label>
     <select id="s_model">
-      <option>ViT-B/32</option><option>ViT-B/16</option><option>ViT-L/14</option>
+      <option>ViT-B/32</option><option>ViT-B/16</option><option>ViT-L/14</option><option>ViT-L/14@336px</option>
     </select></div>
   <div class="field"><label>Min results</label><input type="text" id="s_min"></div>
   <div class="field"><label>Max results</label><input type="text" id="s_max"></div>

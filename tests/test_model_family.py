@@ -14,6 +14,9 @@ OPENAI_COUNTS = {
     "ViT-B/32": 151_277_313,
     "ViT-B/16": 149_620_737,
     "ViT-L/14": 427_616_513,
+    # L/14 tower at 336 px: only the vision positional embedding grows
+    # (577 vs 257 tokens -> +320*1024 params).
+    "ViT-L/14@336px": 427_944_193,
 }
 
 
@@ -32,3 +35,4 @@ def test_token_grid_sizes():
     assert CLIP_MODEL_SPECS["ViT-B/32"].num_image_tokens == 50
     assert CLIP_MODEL_SPECS["ViT-B/16"].num_image_tokens == 197
     assert CLIP_MODEL_SPECS["ViT-L/14"].num_image_tokens == 257
+    assert CLIP_MODEL_SPECS["ViT-L/14@336px"].num_image_tokens == 577
