@@ -160,6 +160,10 @@ def main(argv: list[str] | None = None) -> int:
         from .train import PairDataset, fit
 
         name = args.model or config.CLIP_MODEL
+        if name not in CLIP_MODEL_SPECS:
+            print(f"unknown CLIP model {name!r}; available: "
+                  f"{', '.join(CLIP_MODEL_SPECS)}", file=sys.stderr)
+            return 1
         spec = CLIP_MODEL_SPECS[name]
         params = None
         if args.init_from:

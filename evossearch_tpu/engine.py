@@ -60,6 +60,14 @@ class SearchEngine:
         params: dict | None = None,
     ):
         self.cfg = cfg or default_config
+        if spec is None and self.cfg.CLIP_MODEL not in CLIP_MODEL_SPECS:
+            # mirror clip.load's clear failure (oldapp.py:28): name the
+            # bad knob and the valid set instead of a bare KeyError
+            raise ValueError(
+                f"unknown CLIP model {self.cfg.CLIP_MODEL!r} "
+                f"(EVOSSEARCH_CLIP_MODEL); available: "
+                f"{', '.join(CLIP_MODEL_SPECS)}"
+            )
         self.spec = spec or CLIP_MODEL_SPECS[self.cfg.CLIP_MODEL]
         self.tokenizer = load_tokenizer(self.cfg.BPE_VOCAB_PATH or None)
         self._params = params

@@ -36,3 +36,14 @@ def test_token_grid_sizes():
     assert CLIP_MODEL_SPECS["ViT-B/16"].num_image_tokens == 197
     assert CLIP_MODEL_SPECS["ViT-L/14"].num_image_tokens == 257
     assert CLIP_MODEL_SPECS["ViT-L/14@336px"].num_image_tokens == 577
+
+
+def test_unknown_model_name_is_a_clear_error(monkeypatch):
+    """clip.load names the bad model and the valid set (oldapp.py:28);
+    a bare KeyError out of the spec table would not."""
+    from evossearch_tpu.core.config import Config
+    from evossearch_tpu.engine import SearchEngine
+
+    monkeypatch.setenv("EVOSSEARCH_CLIP_MODEL", "ViT-H/14")
+    with pytest.raises(ValueError, match="ViT-H/14.*available"):
+        SearchEngine(cfg=Config())
