@@ -85,6 +85,20 @@ def test_device_pipeline_matches_reference(size):
     assert diff.mean() < 0.01
 
 
+@pytest.mark.parametrize("size", [(480, 640), (336, 336), (200, 420)])
+def test_device_pipeline_matches_reference_at_336(size):
+    """ViT-L/14@336px preprocesses at target 336 through the same
+    resample-as-GEMM stage; parity must hold there too."""
+    rng = np.random.default_rng(3)
+    img = _random_image(rng, *size)
+    ref = preprocess_reference(img, target=336)
+    dev = np.asarray(preprocess_batch([img], target=336, max_side=704))[0]
+    assert dev.shape == ref.shape == (336, 336, 3)
+    diff = np.abs(dev - ref)
+    assert diff.max() < 6.5 / (255 * 0.26), diff.max()
+    assert diff.mean() < 0.01
+
+
 def test_oversized_image_host_shrink_path():
     rng = np.random.default_rng(2)
     img = _random_image(rng, 1200, 1600)  # > max_side -> host pre-shrink
