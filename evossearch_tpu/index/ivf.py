@@ -330,9 +330,8 @@ class IVFIndex:
         cover >=2k candidate rows, so small corpora degrade toward exact
         search instead of returning short results.
         """
-        s, i = self.search_batch(
-            jnp.asarray(query, jnp.float32)[None, :], k, nprobe
-        )
+        q = jnp.asarray(query, jnp.float32)
+        s, i = self.search_batch(q if q.ndim == 2 else q[None, :], k, nprobe)
         s, i = s[0], i[0]
         valid = i >= 0  # drop bucket padding when probes cover < k rows
         return s[valid], i[valid]

@@ -460,8 +460,16 @@ def pallas_search_batch(emb, queries: np.ndarray, k: int):
     queries_d = jnp.asarray(queries, dtype=jnp.float32)
     interpret = jax.default_backend() == "cpu"
     tree = use_tree_kernel(n, k, emb.dtype)
+    if queries_d.shape[0] <= 128:  # kernel cap: 128 lanes
+        # no [0:128] slice here: slicing a device array is an eager
+        # dispatch of its own, and the serving single-query path counts
+        # on exactly one dispatch + one packed fetch
+        packed = np.asarray(
+            _pallas_topk_packed(emb, queries_d, k, interpret, tree)
+        )
+        return _unpack_with_fallback(packed, emb, queries_d, k)
     outs = []
-    for start in range(0, queries_d.shape[0], 128):  # kernel cap: 128 lanes
+    for start in range(0, queries_d.shape[0], 128):
         outs.append(
             np.asarray(
                 _pallas_topk_packed(

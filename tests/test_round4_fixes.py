@@ -1,0 +1,214 @@
+"""Round-4 fixes (VERDICT.md round 3).
+
+Covers:
+  * item 5 — /image/ membership is an O(1) probe (engine.index_contains),
+    not an O(corpus) dual-spelling frozenset: semantics (stored spelling,
+    absolute spelling, non-row 403, unindexed None) plus a structural
+    assertion that no full path set is materialized and the row dict
+    reuses the reader's own string objects.
+  * item 2 — the one-dispatch single-query serving chain: the text
+    embedding stays a (1, d) device row end to end, the MicroBatcher
+    passes a solo 2-D query through un-stacked, and 1-D/2-D queries give
+    identical results on every entry point.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from evossearch_tpu.core import Config
+from evossearch_tpu.core.constants import CLIPModelSpec
+from evossearch_tpu.engine import SearchEngine, _canon
+
+TINY = CLIPModelSpec(
+    name="tiny", image_size=64, patch_size=16, vision_width=64,
+    vision_layers=2, vision_heads=4, text_width=48, text_layers=2,
+    text_heads=4, vocab_size=49408, context_length=77, embed_dim=32,
+)
+
+
+@pytest.fixture()
+def folder(tmp_path):
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = rng.integers(0, 255, (48, 64, 3), np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i}.jpg", quality=90)
+    (tmp_path / "secret.txt").write_text("not a row")
+    return tmp_path
+
+
+@pytest.fixture()
+def engine(monkeypatch, tmp_path):
+    for k in ("EVOSSEARCH_CHECKPOINT", "EVOSSEARCH_BPE_VOCAB"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    monkeypatch.setenv("EVOSSEARCH_BATCH_SIZE", "4")
+    eng = SearchEngine(cfg=Config(env_path=tmp_path / "missing.env"), spec=TINY)
+    yield eng
+    eng.close()
+
+
+# ---- /image/ membership: index_contains --------------------------------
+
+
+def test_index_contains_semantics(engine, folder):
+    engine.index_folder(str(folder))
+    stored = engine.open_index(str(folder)).paths
+    for p in stored:
+        assert engine.index_contains(str(folder), p) is True
+        # absolute spelling resolves against the canonical folder
+        import os
+
+        abs_p = os.path.join(_canon(str(folder)), os.path.basename(p))
+        assert engine.index_contains(str(folder), abs_p) is True
+    # files in the indexed folder that are NOT rows stay denied
+    assert not engine.index_contains(str(folder), str(folder / "secret.txt"))
+    assert not engine.index_contains(str(folder), str(folder / "missing.jpg"))
+    # unindexed folder -> None (route answers 403 either way)
+    assert engine.index_contains(str(folder / "nope"), "x.jpg") is None
+
+
+def test_index_contains_relative_stored_spelling(engine, folder, monkeypatch):
+    """An index built from a RELATIVE folder path stores relative
+    spellings; the absolute spelling /image/ sends must still match."""
+    import os
+
+    monkeypatch.chdir(folder.parent)
+    rel = folder.name
+    engine.index_folder(rel)
+    stored = engine.open_index(rel).paths
+    assert all(not os.path.isabs(p) for p in stored)
+    for p in stored:
+        abs_p = os.path.join(_canon(rel), os.path.basename(p))
+        assert engine.index_contains(rel, abs_p) is True
+
+
+def test_index_contains_builds_no_path_set(engine, folder):
+    """Structural guard (VERDICT r3 #5): membership must not materialize
+    an O(corpus) set of NEW strings. The row dict's keys must BE the
+    reader's own path strings (identity, not equality), and no legacy
+    'pathset' may appear in the cache entry."""
+    engine.index_folder(str(folder))
+    # absolute non-row probe: exercises the prefix-join arm
+    assert engine.index_contains(str(folder), str(folder / "missing.jpg")) is False
+    entry, reader = engine._cached_index(str(folder))
+    assert "pathset" not in entry
+    rows = entry["path_rows"]
+    assert len(rows) == reader.count
+    for stored, key in zip(reader.paths, rows):
+        assert key is stored  # shared objects — no second string copy
+    # the prefix set is tiny (one distinct dirname for a one-folder scan)
+    assert len(entry["path_prefixes"]) == 1
+
+
+def test_image_route_contract_unchanged(engine, folder):
+    """The HTTP behavior /image/ pins (tests/test_api_contract.py) in one
+    place here: indexed row -> 200, non-row -> 403."""
+    from evossearch_tpu.server import TestClient, create_app
+
+    app = create_app(engine=engine, cfg=engine.cfg)
+    client = TestClient(app)
+    engine.index_folder(str(folder))
+    row = str(folder / "img_0.jpg")
+    assert client.get(f"/image/{row}").status_code == 200
+    assert client.get(f"/image/{folder / 'secret.txt'}").status_code == 403
+
+
+# ---- one-dispatch single-query chain ------------------------------------
+
+
+def test_text_embedding_is_2d_device_row(engine, folder):
+    emb = engine._encode_text_device("hello world")
+    assert getattr(emb, "ndim", None) == 2 and emb.shape[0] == 1
+    # public API still returns the (d,) numpy row
+    flat = engine.encode_text("hello world")
+    assert flat.shape == (TINY.embed_dim,)
+    np.testing.assert_allclose(np.asarray(emb)[0], flat)
+
+
+def test_search_embedding_accepts_1d_and_2d(engine, folder):
+    engine.index_folder(str(folder))
+    q = engine.encode_text("a photo")
+    s1, i1, _ = engine.search_embedding(str(folder), q, k=3)
+    s2, i2, _ = engine.search_embedding(str(folder), q[None, :], k=3)
+    s3, i3, _ = engine.search_embedding(
+        str(folder), engine._encode_text_device("a photo"), k=3
+    )
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(i1, i3)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    np.testing.assert_allclose(s1, s3, rtol=1e-6)
+
+
+def test_microbatcher_solo_2d_passthrough():
+    """A solo (1, d) query must reach execute_batch UNTOUCHED — stacking
+    or reshaping a device array is an extra eager dispatch on the
+    serving hot path."""
+    from evossearch_tpu.serving import MicroBatcher
+
+    seen = []
+
+    def execute(folder, queries, k):
+        seen.append(queries)
+        return (
+            np.zeros((queries.shape[0], k), np.float32),
+            np.zeros((queries.shape[0], k), np.int64),
+        )
+
+    b = MicroBatcher(execute)
+    try:
+        import jax.numpy as jnp
+
+        q2d = jnp.ones((1, 8), jnp.float32)
+        b.submit("f", q2d, 2)
+        assert seen[-1] is q2d  # identity: no stack, no reshape
+        # numpy (d,) rows still get the batched (Q, d) layout
+        b.submit("f", np.ones(8, np.float32), 2)
+        assert seen[-1].shape == (1, 8)
+    finally:
+        b.close()
+
+
+def test_microbatcher_mixed_shapes_stack():
+    """Mixed (1, d) device + (d,) numpy items in one burst stack into a
+    well-formed (Q, d) batch."""
+    import threading
+
+    from evossearch_tpu.serving import MicroBatcher
+
+    release = threading.Event()
+    shapes = []
+
+    def execute(folder, queries, k):
+        if not release.is_set():
+            release.wait(5)
+        shapes.append(tuple(queries.shape))
+        return (
+            np.arange(queries.shape[0] * k, dtype=np.float32).reshape(-1, k),
+            np.zeros((queries.shape[0], k), np.int64),
+        )
+
+    b = MicroBatcher(execute)
+    try:
+        import jax.numpy as jnp
+
+        threads = [
+            threading.Thread(target=b.submit, args=("f", q, 2))
+            for q in (
+                jnp.ones((1, 8), jnp.float32),
+                np.ones(8, np.float32),
+                jnp.zeros((1, 8), jnp.float32),
+            )
+        ]
+        for t in threads:
+            t.start()
+        import time
+
+        time.sleep(0.3)  # let the queue accumulate behind the gate
+        release.set()
+        for t in threads:
+            t.join(5)
+        assert all(s[1] == 8 and len(s) == 2 for s in shapes)
+        assert sum(s[0] for s in shapes) == 3  # every item served once
+    finally:
+        b.close()
