@@ -36,6 +36,27 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# Compact evidence lines, re-printed after every phase: the driver records
+# only the LAST ~2000 chars of output (BENCH_r0N.json "tail"), so a long
+# run must keep ALL key numbers inside that trailing window — round 3 lost
+# the SQ8/IVF evidence (and the headline) to exactly this (VERDICT r3 #1/#3).
+_SUMMARY: list[str] = []
+
+
+def summary(msg: str) -> None:
+    log(msg)
+    _SUMMARY.append(msg)
+
+
+def print_summary() -> None:
+    if not _SUMMARY:
+        return
+    log("==== summary so far ====")
+    for m in _SUMMARY:
+        log("| " + m)
+    log("========================")
+
+
 def _sync(tree) -> None:
     import jax
 
@@ -69,10 +90,14 @@ def bench_search() -> dict:
     zeros = jnp.zeros((8,))
     _sync(trivial(zeros))  # compile
     # device-resident queries: serving produces query embeddings on device
-    # (encode_text), so the steady-state cost is one dispatch + one packed
-    # result fetch
+    # as (1, d) rows (engine._encode_text_device), so the steady-state
+    # single-query cost is ONE kernel dispatch + one packed <=1 KB fetch.
+    # q1 is hoisted (sliced once) to match that production shape — the
+    # old per-iteration queries[:1] added an eager slice dispatch per rep.
+    q1 = jnp.asarray(queries[:1])
+    np.asarray(q1)  # committed before timing
     best_exact_search_batch(emb, queries, K)  # compile (pallas one-pass)
-    best_exact_search_batch(emb, queries[:1], K)  # compile Q=1 shape
+    best_exact_search_batch(emb, q1, K)  # compile Q=1 shape
 
     floor_ms = _p50(lambda: trivial(zeros))
     # best_exact_search_batch returns host arrays (its own sync); its packed
@@ -80,15 +105,15 @@ def bench_search() -> dict:
     # dispatch the serving path issues (scripts/serve_latency.py measures
     # the full engine search_text wall at ~31ms = floor + ~7ms net).
     batch_ms = _p50(lambda: best_exact_search_batch(emb, queries, K)[0])
-    single_ms = _p50(lambda: best_exact_search_batch(emb, queries[:1], K)[0])
+    single_ms = _p50(lambda: best_exact_search_batch(emb, q1, K)[0])
     per_query = batch_ms / QUERY_BATCH
 
-    log(f"RPC dispatch floor (trivial op): p50={floor_ms:.2f}ms")
-    log(f"batched {QUERY_BATCH} queries, one dispatch: total p50={batch_ms:.2f}ms "
-        f"-> {per_query:.3f} ms/query (N={N_VECTORS}, d={DIM}, k={K})")
-    log(f"single query (production packed dispatch, one fetch): "
-        f"wall p50={single_ms:.2f}ms, net of RPC floor="
-        f"{max(single_ms - floor_ms, 0.0):.2f}ms")
+    summary(f"search 1M f32 batched {QUERY_BATCH}, one dispatch: total "
+            f"p50={batch_ms:.2f}ms -> {per_query:.3f} ms/query (k={K})")
+    summary(f"single query net of RPC floor = "
+            f"{max(single_ms - floor_ms, 0.0):.2f} ms "
+            f"(wall p50={single_ms:.2f}ms, floor p50={floor_ms:.2f}ms; "
+            f"one dispatch + one packed fetch) [target < 10]")
     return {"per_query_ms": per_query}
 
 
@@ -106,13 +131,13 @@ def bench_search_10m() -> None:
     queries = jax.random.normal(jax.random.key(4), (QUERY_BATCH, DIM), jnp.float32)
     best_exact_search_batch(emb, queries, K)  # compile
     batch_ms = _p50(lambda: best_exact_search_batch(emb, queries, K)[0], iters=8)
-    log(f"10M vectors bf16, batched {QUERY_BATCH}: total p50={batch_ms:.1f}ms "
-        f"-> {batch_ms / QUERY_BATCH:.3f} ms/query")
+    summary(f"10M bf16 batched {QUERY_BATCH}: total p50={batch_ms:.1f}ms "
+            f"-> {batch_ms / QUERY_BATCH:.3f} ms/query")
     emb_1m = emb[:N_VECTORS]
     best_exact_search_batch(emb_1m, queries, K)  # compile
     batch_ms = _p50(lambda: best_exact_search_batch(emb_1m, queries, K)[0], iters=8)
-    log(f"1M vectors bf16 (default store dtype), batched {QUERY_BATCH}: "
-        f"total p50={batch_ms:.1f}ms -> {batch_ms / QUERY_BATCH:.3f} ms/query")
+    summary(f"1M bf16 (default store dtype) batched {QUERY_BATCH}: "
+            f"total p50={batch_ms:.1f}ms -> {batch_ms / QUERY_BATCH:.3f} ms/query")
 
 
 V5E_PEAK_BF16_FLOPS = 197e12  # one v5e chip, bf16 MXU peak
@@ -158,9 +183,9 @@ def _bench_encode_spec(name: str, batch: int, reps: int, **enc_kw) -> None:
     dt = time.perf_counter() - t0
     ips = reps * batch / dt
     mfu = ips * _vit_fwd_flops(spec) / V5E_PEAK_BF16_FLOPS
-    log(f"encode {name} bf16: {ips:.0f} images/sec/chip "
-        f"(batch {batch}, ~{mfu:.0%} MFU vs {V5E_PEAK_BF16_FLOPS / 1e12:.0f}"
-        f" TFLOP/s bf16 peak)")
+    summary(f"encode {name} bf16: {ips:.0f} images/sec/chip "
+            f"(batch {batch}, ~{mfu:.0%} MFU vs "
+            f"{V5E_PEAK_BF16_FLOPS / 1e12:.0f} TFLOP/s bf16 peak)")
 
 
 def bench_encode_b16() -> None:
@@ -205,8 +230,8 @@ def bench_encode() -> None:
     outs = [fwd(params, images) for _ in range(reps)]
     np.asarray(outs[-1])
     dt = time.perf_counter() - t0
-    log(f"encode ViT-B/32 bf16: {reps * batch / dt:.0f} images/sec/chip "
-        f"(batch {batch}, {reps} reps, seq_merge=2) [target >= 1000]")
+    summary(f"encode ViT-B/32 bf16: {reps * batch / dt:.0f} images/sec/chip "
+            f"(batch {batch}, {reps} reps, seq_merge=2) [target >= 1000]")
 
 
 class _PhaseTimeout(Exception):
@@ -313,10 +338,33 @@ def bench_index() -> None:
             for name in ("index_decode", "index_prepare", "prep_encode")
             if name in snap
         }
+        e2e_ips = count / wall
         log(f"bench_index END-TO-END: {count} images in {wall:.2f}s = "
-            f"{count / wall:.0f} img/s [target >= 1000] "
+            f"{e2e_ips:.0f} img/s [target >= 1000] "
             f"(host: {__import__('os').cpu_count()} cores)")
         log(f"bench_index stage split (seconds, stages overlap): {split}")
+
+        # Decode-only ceiling (VERDICT r3 #4): pure load_batch_planar over
+        # the same corpus at the same DCT-scaled short side the builder
+        # uses — makes "e2e is host-decode-bound on this 1-core rig" a
+        # measured line, not an inference.
+        from evossearch_tpu.preprocess.io import load_batch_planar
+
+        jpegs = sorted(str(p) for p in __import__("pathlib").Path(tmp).glob("*.jpg"))
+        short = cfg.DECODE_SHORT_SIDE or eng.spec.image_size
+        t0 = time.perf_counter()
+        n_ok = 0
+        for start in range(0, len(jpegs), eng._index_batch):
+            ents = load_batch_planar(
+                jpegs[start : start + eng._index_batch],
+                min_short_side=short, fast=True,
+            )
+            n_ok += sum(e is not None for e in ents)
+        dec_ips = n_ok / (time.perf_counter() - t0)
+        summary(f"bench_index: e2e {e2e_ips:.0f} img/s vs decode-only "
+                f"ceiling {dec_ips:.0f} img/s "
+                f"({e2e_ips / dec_ips:.0%} of the 1-core host decode bound; "
+                f"device ceiling = bench_device_pipeline line)")
 
         # The device ceiling for the encode stage is bench_encode's number
         # (11k+ img/s from HBM-resident batches). Re-uploading prepared
@@ -369,9 +417,9 @@ def bench_device_pipeline() -> None:
     outs = [fn(eng.params, canv_d, ah_d, aw_d, si_d) for _ in range(reps)]
     np.asarray(outs[-1])  # fetch-last (see bench_encode)
     dt = time.perf_counter() - t0
-    log(f"device pipeline (fused preprocess+encode, 480x640 uint8 -> "
-        f"embedding): {reps * batch / dt:.0f} img/s/chip (batch {batch}) "
-        f"[indexing device ceiling; target >= 1000]")
+    summary(f"device pipeline (fused preprocess+encode, 480x640 uint8 -> "
+            f"embedding): {reps * batch / dt:.0f} img/s/chip (batch {batch}) "
+            f"[indexing device ceiling; target >= 1000]")
     eng.close()  # don't leak batcher threads into later phases
 
 
@@ -416,12 +464,12 @@ def bench_ivf() -> None:
     # IVF queries): one device round-trip for the whole batch.
     ivf.search_batch(qs, K)  # compile
     b_ms = _p50(lambda: ivf.search_batch(qs, K)[0], iters=8)
-    log(f"IVF 1M (nlist=1000): build={build_s:.1f}s, recall@{K}="
-        f"{hits / total:.4f} [target >= 0.99], query={q_ms:.1f} ms "
-        f"(single-query wall incl ~28ms RPC floor; "
-        f"recall-calibrated nprobe={ivf.tuned_nprobe}); "
-        f"batched {len(qs)}: {b_ms:.1f} ms total = "
-        f"{b_ms / len(qs):.2f} ms/query")
+    summary(f"IVF 1M (nlist=1000): build={build_s:.1f}s, recall@{K}="
+            f"{hits / total:.4f} [target >= 0.99], query={q_ms:.1f} ms "
+            f"(single-query wall incl ~28ms RPC floor; "
+            f"recall-calibrated nprobe={ivf.tuned_nprobe}); "
+            f"batched {len(qs)}: {b_ms:.1f} ms total = "
+            f"{b_ms / len(qs):.2f} ms/query")
 
 
 def bench_ivf_10m() -> None:
@@ -461,11 +509,10 @@ def bench_ivf_10m() -> None:
         f"{limit / 2**30:.1f} GB"
         if limit else "16 GB (v5e; relay hides memory_stats)"
     )
-    log(f"IVF@10M bf16 one-chip: steady {steady / 2**30:.1f} GB + build "
-        f"peak {peak / 2**30:.1f} GB vs HBM limit "
-        f"{limit_s} -> infeasible on one chip "
-        f"(exact sweeps it in-place; IVF at this scale runs mesh-sharded "
-        f"— parallel/sharded_ivf.py, dryrun-verified — or on the host)")
+    summary(f"IVF@10M bf16 one-chip: steady {steady / 2**30:.1f} GB + "
+            f"build peak {peak / 2**30:.1f} GB vs HBM {limit_s} -> "
+            f"infeasible (exact sweeps in-place; at this scale IVF runs "
+            f"mesh-sharded or on the host)")
 
     # -- 2: largest feasible on-chip scale, head-to-head ----------------
     n, n_clusters, chunk = 3_000_000, 1732, 250_000
@@ -521,12 +568,12 @@ def bench_ivf_10m() -> None:
         len(set(map(int, ivf_i[r])) & set(map(int, exact_i[r])))
         for r in range(QUERY_BATCH)
     )
-    log(f"IVF {n / 1e6:.0f}M bf16 (nlist={n_clusters}, factor={factor}, "
-        f"tuned nprobe={ivf.tuned_nprobe}): build={build_s:.1f}s, "
-        f"recall@{K}={hits / (QUERY_BATCH * K):.4f}; batched {QUERY_BATCH}: "
-        f"IVF {ivf_ms / QUERY_BATCH:.3f} ms/query vs exact "
-        f"{exact_ms / QUERY_BATCH:.3f} ms/query -> "
-        f"{'IVF' if ivf_ms < exact_ms else 'EXACT'} wins on-chip")
+    summary(f"IVF {n / 1e6:.0f}M bf16 (nlist={n_clusters}, factor={factor}, "
+            f"tuned nprobe={ivf.tuned_nprobe}): build={build_s:.1f}s, "
+            f"recall@{K}={hits / (QUERY_BATCH * K):.4f}; batched {QUERY_BATCH}: "
+            f"IVF {ivf_ms / QUERY_BATCH:.3f} ms/query vs exact "
+            f"{exact_ms / QUERY_BATCH:.3f} ms/query -> "
+            f"{'IVF' if ivf_ms < exact_ms else 'EXACT'} wins on-chip")
     del ivf, emb_d
     gc.collect()
 
@@ -567,11 +614,11 @@ def bench_ivf_10m() -> None:
     hrecall = sum(
         len(a & b) for a, b in zip(exact_sets, ivf_sets)
     ) / (len(qs) * K)
-    log(f"HOST crossover @150k f32 (1-core BLAS, build {hbuild_s:.0f}s on "
-        f"host XLA): exact scan {hx_ms:.1f} ms/query vs IVF numpy probe "
-        f"{hi_ms:.1f} ms/query ({hx_ms / max(hi_ms, 1e-9):.1f}x, "
-        f"recall@{K}={hrecall:.4f}, nprobe={hivf.tuned_nprobe}) -> "
-        f"IVF wins on host; the gap grows ~O(N/sqrt(N)) with corpus size")
+    summary(f"HOST crossover @150k f32 (1-core BLAS, build {hbuild_s:.0f}s "
+            f"on host XLA): exact {hx_ms:.1f} ms/q vs IVF probe "
+            f"{hi_ms:.1f} ms/q ({hx_ms / max(hi_ms, 1e-9):.1f}x, "
+            f"recall@{K}={hrecall:.4f}, nprobe={hivf.tuned_nprobe}) -> "
+            f"IVF wins on host")
 
 
 def bench_sq8() -> None:
@@ -665,10 +712,150 @@ def bench_sq8() -> None:
         )
     # ~floor-adjusted; clamp so a fast relay day can't print negative GB/s
     gbps = n * (DIM + 8) / (max(t_wall - 25.0, 1.0) * 1e-3) / 1e9
-    log(f"SQ8 20M rows EXACT, batched {QUERY_BATCH}: select p50 "
-        f"{t_wall:.1f}ms wall = {t_wall / QUERY_BATCH:.3f} ms/query "
-        f"(~{gbps:.0f} GB/s sweep), cert {certs}/{QUERY_BATCH} "
-        f"[capacity: 2x the bf16 HBM ceiling, exact results]")
+    summary(f"SQ8 20M rows EXACT, batched {QUERY_BATCH}: select p50 "
+            f"{t_wall:.1f}ms wall = {t_wall / QUERY_BATCH:.3f} ms/query "
+            f"(~{gbps:.0f} GB/s sweep), cert {certs}/{QUERY_BATCH} "
+            f"[capacity: 2x the bf16 HBM ceiling, exact results]")
+
+
+def bench_serve() -> None:
+    """HTTP-level serving throughput (VERDICT r3 item 6): the real WSGI
+    app driven in-process by 8 client threads against one cached 1M-row
+    bf16 folder (the default store dtype at the headline scale). Each
+    request is a fresh text query (text-cache miss: tokenizer + text
+    tower + batched search + thumbnail), i.e. the reference's
+    per-request work (oldapp.py:2005) under OUR threaded server +
+    micro-batching; the reference serves this single-threaded."""
+    import shutil
+    import tempfile
+    import threading
+
+    from PIL import Image
+
+    from evossearch_tpu.core import CLIP_MODEL_SPECS, Config
+    from evossearch_tpu.engine import SearchEngine
+    from evossearch_tpu.index.store import IndexWriter
+    from evossearch_tpu.server import TestClient, create_app
+
+    n, chunk = 1_000_000, 1 << 17
+    threads, per_thread = 8, 40
+    tmp = tempfile.mkdtemp(prefix="bench_serve_")
+    eng = None
+    try:
+        # one REAL image all rows point at: thumbnails resolve (and cache)
+        rng = np.random.default_rng(0)
+        img_path = f"{tmp}/row.jpg"
+        Image.fromarray(
+            rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+        ).save(img_path, quality=85)
+
+        cfg = Config(env_path=None)
+        t0 = time.perf_counter()
+        w = IndexWriter.create(
+            tmp, model="ViT-B/32", dim=DIM, dtype_name="bfloat16",
+            index_folder_name=cfg.INDEX_FOLDER_NAME,
+        )
+        for start in range(0, n, chunk):
+            emb = rng.standard_normal((chunk, DIM)).astype(np.float32)
+            emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+            w.append(emb, [img_path] * chunk, [{}] * chunk)
+        w.finalize()
+        log(f"bench_serve: wrote 1M-row bf16 store in "
+            f"{time.perf_counter() - t0:.0f}s")
+
+        eng = SearchEngine(cfg=cfg, spec=CLIP_MODEL_SPECS["ViT-B/32"])
+        eng.warmup()
+        app = create_app(engine=eng, cfg=cfg)
+
+        def query(client, tag):
+            return client.post("/search", json_body={
+                "folder": tmp, "query": f"benchmark query {tag}",
+                "limit": 12,
+            })
+
+        warm_client = TestClient(app)
+        t0 = time.perf_counter()
+        r = query(warm_client, "warm")  # corpus upload + compiles
+        assert r.status_code == 200, r.data[:200]
+        log(f"bench_serve: first request (upload 1 GB + compile): "
+            f"{time.perf_counter() - t0:.0f}s")
+        query(warm_client, "warm2")
+
+        lat: list[float] = []
+        lat_lock = threading.Lock()
+
+        def worker(tid):
+            client = TestClient(app)
+            mine = []
+            for i in range(per_thread):
+                t0 = time.perf_counter()
+                r = query(client, f"{tid}-{i}")
+                assert r.status_code == 200
+                mine.append((time.perf_counter() - t0) * 1e3)
+            with lat_lock:
+                lat.extend(mine)
+
+        t0 = time.perf_counter()
+        ts = [
+            threading.Thread(target=worker, args=(t,)) for t in range(threads)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = time.perf_counter() - t0
+        qps = len(lat) / wall
+        summary(f"serve HTTP {threads} threads x {per_thread} fresh-text "
+                f"queries @1M bf16: {qps:.0f} qps, p50="
+                f"{np.percentile(lat, 50):.0f}ms p99="
+                f"{np.percentile(lat, 99):.0f}ms "
+                f"(reference: single-threaded dev server)")
+    finally:
+        if eng is not None:
+            eng.close()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_train() -> None:
+    """Contrastive train-step throughput, ViT-B/32 dp=1 on one chip
+    (VERDICT r3 item 7): the jitted fused forward+backward+AdamW step
+    from train/contrastive.py on synthetic preprocessed batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from evossearch_tpu.core import CLIP_MODEL_SPECS
+    from evossearch_tpu.models import init_params
+    from evossearch_tpu.train.contrastive import (
+        make_optimizer, make_train_step,
+    )
+
+    spec = CLIP_MODEL_SPECS["ViT-B/32"]
+    params = init_params(jax.random.key(0), spec)
+    optimizer = make_optimizer()
+    opt_state = optimizer.init(params)
+    step = jax.jit(
+        make_train_step(spec, optimizer, compute_dtype=jnp.bfloat16),
+        donate_argnums=(0, 1),
+    )
+    bs = 256
+    images = jax.random.normal(
+        jax.random.key(1), (bs, spec.image_size, spec.image_size, 3),
+        jnp.bfloat16,
+    )
+    tokens = jax.random.randint(
+        jax.random.key(2), (bs, spec.context_length), 0, spec.vocab_size,
+        jnp.int32,
+    )
+    params, opt_state, loss = step(params, opt_state, images, tokens)
+    np.asarray(loss)  # compile + settle donation
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        params, opt_state, loss = step(params, opt_state, images, tokens)
+    np.asarray(loss)  # fetch-last sync
+    dt = time.perf_counter() - t0
+    summary(f"train ViT-B/32 bf16 contrastive step (fwd+bwd+AdamW, remat, "
+            f"batch {bs}, dp=1): {reps * bs / dt:.0f} pairs/s/chip")
 
 
 def warmup_backend() -> None:
@@ -709,42 +896,64 @@ def warmup_backend() -> None:
         f"{time.perf_counter() - t0:.1f}s")
 
 
+# Wall budget for the extras, measured from AFTER the (unbounded) relay
+# warmup: phases not yet started once this is spent are skipped with a
+# note. Round 3's run was killed by the driver's outer timeout mid-extra
+# with the headline unprinted; the budget + early headline make the
+# artifact timeout-proof. Worst case total ~= warmup + budget + one
+# phase watchdog (<= 600s).
+EXTRAS_WALL_BUDGET_S = 1500
+
+
 def main() -> None:
     import gc
 
     warmup_backend()
+    t_start = time.perf_counter()
     # PRIMARY METRIC FIRST: a failed extra (e.g. an HBM-hungry IVF build
     # OOMing) must not be able to poison the chip's memory for it —
     # round-3 run 1 lost the headline number to exactly that cascade.
     stats = _run_phase(bench_search, budget_s=420)
-    gc.collect()
-    # 10M runs BEFORE ivf: the IVF bucket tensor is ~4 GB and interleaving
-    # it with the 10 GB corpus fragments HBM enough to slow the sweep.
-    # bench_encode's budget covers a worst-case cold remote compile of the
-    # seq-merge program.
-    # bench_ivf_10m runs FIRST among the HBM-heavy phases: its 3M build
-    # needs the most headroom, and frees from earlier big phases land
-    # lazily through the relay (run-2 diagnosis: the 3M build OOM'd with
-    # an arithmetic peak of only ~11 GB after the 10M + 1M-IVF phases).
-    budgets = {"bench_index": 600, "bench_encode": 480,
-               "bench_ivf_10m": 600, "bench_sq8": 600}
-    # bench_sq8 LAST among HBM-heavy phases: its 10 GB int8 corpus wants a
-    # defragmented chip, and nothing runs after it to be poisoned.
-    for extra in (bench_encode, bench_encode_b16, bench_encode_l14,
-                  bench_device_pipeline, bench_index, bench_ivf_10m,
-                  bench_search_10m, bench_ivf, bench_sq8):
-        try:
-            _run_phase(extra, budget_s=budgets.get(extra.__name__, 300))
-        except Exception as e:  # extras must not kill the primary metric
-            log(f"{extra.__name__} failed: {e}")
-        gc.collect()
+    # HEADLINE IMMEDIATELY (VERDICT r3 #1): round 3 printed it only after
+    # ~70 min of extras and the driver's outer timeout threw it away.
+    # stdout still carries exactly ONE JSON line — phases log to stderr.
     value = stats["per_query_ms"]
     print(json.dumps({
         "metric": "exact_top48_per_query_ms_at_1M_vectors_batch48",
         "value": round(value, 3),
         "unit": "ms",
         "vs_baseline": round(TARGET_P50_MS / value, 3),
-    }))
+    }), flush=True)
+    gc.collect()
+
+    # Extras in EVIDENCE-PRIORITY order (what a timeout would cut last),
+    # constrained by HBM pressure: bench_sq8's 10 GB int8 corpus goes
+    # first among the heavy phases (freshest chip — frees from big phases
+    # land lazily through the relay; run-2 diagnosis: a 3M IVF build
+    # OOM'd at an arithmetic peak of ~11 GB after earlier big phases),
+    # then IVF 1M; the 3M IVF head-to-head and the 10M sweep run last —
+    # both already have driver-captured r03 evidence.
+    budgets = {"bench_sq8": 600, "bench_ivf": 420, "bench_index": 600,
+               "bench_serve": 600, "bench_train": 480, "bench_encode": 480,
+               "bench_ivf_10m": 600}
+    extras = (bench_sq8, bench_ivf, bench_index, bench_serve, bench_train,
+              bench_encode, bench_encode_b16, bench_encode_l14,
+              bench_device_pipeline, bench_ivf_10m, bench_search_10m)
+    for i, extra in enumerate(extras):
+        elapsed = time.perf_counter() - t_start
+        if elapsed > EXTRAS_WALL_BUDGET_S:
+            skipped = [f.__name__ for f in extras[i:]]
+            log(f"wall budget ({EXTRAS_WALL_BUDGET_S}s) spent after "
+                f"{elapsed:.0f}s; skipping: {skipped}")
+            break
+        try:
+            _run_phase(extra, budget_s=budgets.get(extra.__name__, 300))
+        except Exception as e:  # extras must not kill the primary metric
+            log(f"{extra.__name__} failed: {e}")
+        gc.collect()
+        # keep every key number inside the driver's trailing 2000-char
+        # capture window, whatever phase the run dies in
+        print_summary()
 
 
 if __name__ == "__main__":
