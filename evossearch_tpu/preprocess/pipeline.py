@@ -25,8 +25,8 @@ import numpy as np
 
 from ..core.constants import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
 from .resize import (
-    clip_resize_crop_chroma_matrices,
-    clip_resize_crop_matrices,
+    clip_resize_crop_chroma_windowed,
+    clip_resize_crop_windowed,
     resample_matrix,
     resized_dims,
 )
@@ -108,11 +108,12 @@ def device_preprocess_planar(y, c, a_h_y, a_w_y, a_h_c, a_w_c, out_dtype=None):
     """Jittable fused planar-YCbCr resample + crop + color-convert +
     normalize — the device half of the planar JPEG path.
 
-    y: (B, Hp, Wp) uint8 luma canvases; c: (B, Hp//2, Wp//2, 2) uint8
-    Cb/Cr canvases at half resolution (native decode_jpeg_planar's 4:2:0
-    layout — 1.5 B/px on the wire vs RGB's 3, the point of this path).
+    y: (B, Hp, Wp) uint8 luma canvases; c: (B, Hpc, Wpc, 2) uint8 Cb/Cr
+    canvases at ~half resolution on their own pad ladder (native
+    decode_jpeg_planar's 4:2:0 layout — 1.5 B/px on the wire vs RGB's 3,
+    the point of this path).
     a_h_y/a_w_y: (B, target, Hp/Wp) luma resize+crop weights; a_h_c/a_w_c:
-    (B, target, Hp//2 / Wp//2) chroma weights on the SAME output grid
+    (B, target, Hpc/Wpc) chroma weights on the SAME output grid
     (resize.clip_resize_crop_chroma_matrices folds the 2x chroma upsample
     into the resample). Both planes ride the MXU; the JFIF YCbCr->RGB
     conversion (BT.601 full-range) is three fused FMAs per pixel. Output
@@ -221,22 +222,30 @@ def prepare_batch(
         if a.shape[0] > max_side or a.shape[1] > max_side else a
         for a in arrays
     ]
-    hp = _pad_dim(max(a.shape[0] for a in shrunk), pad_multiple)
-    wp = _pad_dim(max(a.shape[1] for a in shrunk), pad_multiple)
-    canvases = np.zeros((len(shrunk), hp, wp, 3), np.uint8)
+    # Canvases hold only each image's bicubic SUPPORT WINDOW — the center
+    # crop zeroes every weight outside a centered band of the longer axis,
+    # so the slice is dropped before upload (mathematically identical
+    # output — elided terms are exact zeros; any f32 delta is summation-
+    # order ulps — and ~25-40% fewer canvas bytes on photo aspect ratios).
     sizes: dict[tuple[int, int], int] = {}
     size_idx = np.zeros(len(shrunk), np.int32)
     for i, a in enumerate(shrunk):
-        h, w = a.shape[:2]
-        canvases[i, :h, :w] = a
-        size_idx[i] = sizes.setdefault((h, w), len(sizes))
+        size_idx[i] = sizes.setdefault(a.shape[:2], len(sizes))
+    win = {hw: clip_resize_crop_windowed(*hw, target) for hw in sizes}
+    hp = _pad_dim(max(m[0].shape[1] for m in win.values()), pad_multiple)
+    wp = _pad_dim(max(m[1].shape[1] for m in win.values()), pad_multiple)
+    canvases = np.zeros((len(shrunk), hp, wp, 3), np.uint8)
+    for i, a in enumerate(shrunk):
+        mh, mw, y0, x0 = win[a.shape[:2]]
+        bh, bw = mh.shape[1], mw.shape[1]
+        canvases[i, :bh, :bw] = a[y0 : y0 + bh, x0 : x0 + bw]
     u_pad = _next_pow2(len(sizes))
     a_h = np.zeros((u_pad, target, hp), np.float32)
     a_w = np.zeros((u_pad, target, wp), np.float32)
-    for (h, w), u in sizes.items():
-        mh, mw = clip_resize_crop_matrices(h, w, target)
-        a_h[u, :, :h] = mh
-        a_w[u, :, :w] = mw
+    for hw, u in sizes.items():
+        mh, mw, _, _ = win[hw]
+        a_h[u, :, : mh.shape[1]] = mh
+        a_w[u, :, : mw.shape[1]] = mw
     for u in range(len(sizes), u_pad):  # pad rows: duplicate row 0
         a_h[u] = a_h[0]
         a_w[u] = a_w[0]
@@ -272,13 +281,14 @@ def prepare_batch_planar(
 ):
     """Batch of (y, cb, cr) planar 4:2:0 arrays -> device-ready tensors.
 
-    Returns (y_canvas (B, Hp, Wp) u8, c_canvas (B, Hp//2, Wp//2, 2) u8,
+    Returns (y_canvas (B, Hp, Wp) u8, c_canvas (B, Hpc, Wpc, 2) u8,
     a_h_y (U, target, Hp) f32, a_w_y (U, target, Wp) f32,
-    a_h_c (U, target, Hp//2) f32, a_w_c (U, target, Wp//2) f32,
+    a_h_c (U, target, Hpc) f32, a_w_c (U, target, Wpc) f32,
     size_idx (B,) int32) — the planar twin of prepare_batch, drawing every
-    shape from the same ladders. Callers pre-route images above the canvas
-    ladder (``DEFAULT_MAX_SIDE``) to the RGB path (planar_to_rgb_host);
-    this function requires them gone.
+    shape from bounded ladders (chroma dims ride their own half-step
+    ladder). Callers pre-route images above the canvas ladder
+    (``DEFAULT_MAX_SIDE``) to the RGB path (planar_to_rgb_host); this
+    function requires them gone.
     """
     for y, cb, cr in planes:
         h, w = y.shape
@@ -287,33 +297,48 @@ def prepare_batch_planar(
             raise ValueError(
                 f"chroma {cb.shape} does not match 4:2:0 of luma {(h, w)}"
             )
-    hp = _pad_dim(max(p[0].shape[0] for p in planes), pad_multiple)
-    wp = _pad_dim(max(p[0].shape[1] for p in planes), pad_multiple)
     n = len(planes)
-    y_canvas = np.zeros((n, hp, wp), np.uint8)
-    c_canvas = np.zeros((n, hp // 2, wp // 2, 2), np.uint8)
+    # Support-window packing (see prepare_batch): luma and chroma each get
+    # their own window on their own grid, so the chroma canvas rides its
+    # own (finer-stepped) ladder instead of being pinned to half the luma
+    # canvas.
     sizes: dict[tuple[int, int], int] = {}
     size_idx = np.zeros(n, np.int32)
     for i, (y, cb, cr) in enumerate(planes):
-        h, w = y.shape
-        y_canvas[i, :h, :w] = y
-        ch, cw = cb.shape
-        c_canvas[i, :ch, :cw, 0] = cb
-        c_canvas[i, :ch, :cw, 1] = cr
-        size_idx[i] = sizes.setdefault((h, w), len(sizes))
+        size_idx[i] = sizes.setdefault(y.shape, len(sizes))
+    win: dict[tuple[int, int], tuple] = {}
+    for h, w in sizes:
+        mh, mw, y0, x0 = clip_resize_crop_windowed(h, w, target)
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        mhc, mwc, cy0, cx0 = clip_resize_crop_chroma_windowed(
+            h, w, ch, cw, target
+        )
+        win[(h, w)] = (mh, mw, y0, x0, mhc, mwc, cy0, cx0)
+    hp = _pad_dim(max(v[0].shape[1] for v in win.values()), pad_multiple)
+    wp = _pad_dim(max(v[1].shape[1] for v in win.values()), pad_multiple)
+    c_step = max(pad_multiple // 2, 16)
+    chp = _pad_dim(max(v[4].shape[1] for v in win.values()), c_step)
+    cwp = _pad_dim(max(v[5].shape[1] for v in win.values()), c_step)
+    y_canvas = np.zeros((n, hp, wp), np.uint8)
+    c_canvas = np.zeros((n, chp, cwp, 2), np.uint8)
+    for i, (y, cb, cr) in enumerate(planes):
+        mh, mw, y0, x0, mhc, mwc, cy0, cx0 = win[y.shape]
+        bh, bw = mh.shape[1], mw.shape[1]
+        y_canvas[i, :bh, :bw] = y[y0 : y0 + bh, x0 : x0 + bw]
+        cbh, cbw = mhc.shape[1], mwc.shape[1]
+        c_canvas[i, :cbh, :cbw, 0] = cb[cy0 : cy0 + cbh, cx0 : cx0 + cbw]
+        c_canvas[i, :cbh, :cbw, 1] = cr[cy0 : cy0 + cbh, cx0 : cx0 + cbw]
     u_pad = _next_pow2(len(sizes))
     a_h_y = np.zeros((u_pad, target, hp), np.float32)
     a_w_y = np.zeros((u_pad, target, wp), np.float32)
-    a_h_c = np.zeros((u_pad, target, hp // 2), np.float32)
-    a_w_c = np.zeros((u_pad, target, wp // 2), np.float32)
-    for (h, w), u in sizes.items():
-        mh, mw = clip_resize_crop_matrices(h, w, target)
-        a_h_y[u, :, :h] = mh
-        a_w_y[u, :, :w] = mw
-        ch, cw = (h + 1) // 2, (w + 1) // 2
-        mhc, mwc = clip_resize_crop_chroma_matrices(h, w, ch, cw, target)
-        a_h_c[u, :, :ch] = mhc
-        a_w_c[u, :, :cw] = mwc
+    a_h_c = np.zeros((u_pad, target, chp), np.float32)
+    a_w_c = np.zeros((u_pad, target, cwp), np.float32)
+    for hw, u in sizes.items():
+        mh, mw, _, _, mhc, mwc, _, _ = win[hw]
+        a_h_y[u, :, : mh.shape[1]] = mh
+        a_w_y[u, :, : mw.shape[1]] = mw
+        a_h_c[u, :, : mhc.shape[1]] = mhc
+        a_w_c[u, :, : mwc.shape[1]] = mwc
     for u in range(len(sizes), u_pad):  # pad rows: duplicate row 0
         a_h_y[u] = a_h_y[0]
         a_w_y[u] = a_w_y[0]

@@ -144,6 +144,51 @@ def clip_resize_crop_matrices(
     return a_h, a_w
 
 
+def _support_window(mat: np.ndarray) -> tuple[int, int]:
+    """[lo, hi) input-column span holding every nonzero weight of a
+    (out, in) resample matrix — the only source pixels the output ever
+    reads."""
+    cols = np.flatnonzero(mat.any(axis=0))
+    if cols.size == 0:  # degenerate all-zero matrix: keep full span
+        return 0, mat.shape[1]
+    return int(cols[0]), int(cols[-1]) + 1
+
+
+def clip_resize_crop_windowed(
+    height: int, width: int, target: int = 224
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """clip_resize_crop_matrices sliced to the bicubic support window.
+
+    The center crop means the cropped (longer) axis only ever reads a
+    centered band of the source: every column outside it carries an
+    exactly-zero weight. Slicing those columns off BOTH the matrix and
+    the canvas drops only exact-0.0 terms — the result is mathematically
+    identical (any f32 delta is last-ulp summation-order noise from the
+    shorter contraction) — while cutting host->device canvas bytes
+    by the crop ratio — ~24% on 4:3 sources, ~42% on 16:9 (the dominant
+    indexing cost on upload-bound rigs; VERDICT r3 #4).
+
+    Returns (A_h[:, y0:y1], A_w[:, x0:x1], y0, x0); the caller packs
+    ``img[y0:y0+A_h.shape[1], x0:x0+A_w.shape[1]]`` into its canvas.
+    """
+    a_h, a_w = clip_resize_crop_matrices(height, width, target)
+    y0, y1 = _support_window(a_h)
+    x0, x1 = _support_window(a_w)
+    return a_h[:, y0:y1], a_w[:, x0:x1], y0, x0
+
+
+def clip_resize_crop_chroma_windowed(
+    height: int, width: int, ch: int, cw: int, target: int = 224
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Windowed clip_resize_crop_chroma_matrices (see
+    clip_resize_crop_windowed): the chroma planes get their own support
+    window on the half-resolution grid."""
+    a_hc, a_wc = clip_resize_crop_chroma_matrices(height, width, ch, cw, target)
+    cy0, cy1 = _support_window(a_hc)
+    cx0, cx1 = _support_window(a_wc)
+    return a_hc[:, cy0:cy1], a_wc[:, cx0:cx1], cy0, cx0
+
+
 def resample_reference(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Pure-numpy oracle: full resize of an (H, W, C) float image."""
     a_h = resample_matrix(img.shape[0], out_h)

@@ -212,3 +212,67 @@ def test_microbatcher_mixed_shapes_stack():
         assert sum(s[0] for s in shapes) == 3  # every item served once
     finally:
         b.close()
+
+
+# ---- item 4 — support-window canvas packing -----------------------------
+
+
+def test_support_window_is_mathematically_exact():
+    """Windowed matrices+canvas give the full-matrix result exactly (f64):
+    every elided column carries an exact-0.0 weight, so only summation
+    order can differ in f32."""
+    from evossearch_tpu.preprocess.resize import (
+        clip_resize_crop_matrices,
+        clip_resize_crop_windowed,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(480, 640), (640, 480), (333, 517), (224, 224)]:
+        img = rng.integers(0, 256, (h, w), np.uint8).astype(np.float64)
+        mh, mw = clip_resize_crop_matrices(h, w, 224)
+        full = mh.astype(np.float64) @ img @ mw.T.astype(np.float64)
+        wh, ww, y0, x0 = clip_resize_crop_windowed(h, w, 224)
+        bh, bw = wh.shape[1], ww.shape[1]
+        win = (
+            wh.astype(np.float64)
+            @ img[y0 : y0 + bh, x0 : x0 + bw]
+            @ ww.T.astype(np.float64)
+        )
+        np.testing.assert_allclose(win, full, rtol=0, atol=1e-9)
+
+
+def test_support_window_shrinks_cropped_axis():
+    """Non-square sources pack a strictly smaller canvas; the square case
+    keeps the full frame (no crop -> no zero columns)."""
+    from evossearch_tpu.preprocess.resize import clip_resize_crop_windowed
+
+    wh, ww, _, _ = clip_resize_crop_windowed(1080, 1920, 224)
+    assert wh.shape[1] == 1080 and ww.shape[1] < 1920 * 0.62
+    wh, ww, _, _ = clip_resize_crop_windowed(224, 224, 224)
+    assert wh.shape[1] == 224 and ww.shape[1] == 224
+
+
+def test_prepare_batch_canvas_bytes_shrink():
+    """prepare_batch's canvases ride the window ladder, not the source
+    ladder: a 16:9 batch uploads ~40% fewer bytes."""
+    from evossearch_tpu.preprocess.pipeline import prepare_batch
+
+    rng = np.random.default_rng(3)
+    arrays = [rng.integers(0, 256, (360, 640, 3), np.uint8) for _ in range(4)]
+    canvases, a_h, a_w, size_idx = prepare_batch(arrays, target=224)
+    assert canvases.shape[2] <= 416  # 368-px window padded, far below 640
+    # and the result still matches the full-matrix reference
+    from evossearch_tpu.preprocess.resize import clip_resize_crop_matrices
+
+    mh, mw = clip_resize_crop_matrices(360, 640, 224)
+    ref = np.einsum(
+        "th,hwc,sw->tsc", mh, arrays[0].astype(np.float64), mw
+    )
+    u = size_idx[0]
+    got = np.einsum(
+        "th,hwc,sw->tsc",
+        a_h[u].astype(np.float64),
+        canvases[0].astype(np.float64),
+        a_w[u].astype(np.float64),
+    )
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9)
