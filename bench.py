@@ -361,10 +361,40 @@ def bench_index() -> None:
             )
             n_ok += sum(e is not None for e in ents)
         dec_ips = n_ok / (time.perf_counter() - t0)
+
+        # Upload ceiling: ship the EXACT windowed planar canvases the
+        # pipeline ships for one batch, synced by a tiny on-device reduce
+        # (block_until_ready is a no-op under this relay; fetching the
+        # canvases back would measure the download direction instead).
+        # e2e is bounded by min(decode, upload) on this rig — decode costs
+        # the 1 host core, upload costs the relay serialization.
+        import jax
+        import jax.numpy as jnp
+
+        from evossearch_tpu.preprocess import prepare_batch_planar
+
+        ents = load_batch_planar(
+            jpegs[: eng._index_batch], min_short_side=short, fast=True
+        )
+        planes = [e for e in ents if isinstance(e, tuple)]
+        yc, cc, *_rest = prepare_batch_planar(
+            planes, target=eng.spec.image_size
+        )
+        up_reps = 4
+        t0 = time.perf_counter()
+        for _ in range(up_reps):
+            yd, cd = jax.device_put(yc), jax.device_put(cc)
+            np.asarray(jnp.max(yd) + jnp.max(cd))  # sync w/o fetching bytes
+        up_dt = time.perf_counter() - t0
+        up_ips = up_reps * len(planes) / up_dt
+        up_mbs = up_reps * (yc.nbytes + cc.nbytes) / up_dt / 1e6
+        bound = min(dec_ips, up_ips)
         summary(f"bench_index: e2e {e2e_ips:.0f} img/s vs decode-only "
-                f"ceiling {dec_ips:.0f} img/s "
-                f"({e2e_ips / dec_ips:.0%} of the 1-core host decode bound; "
-                f"device ceiling = bench_device_pipeline line)")
+                f"{dec_ips:.0f} img/s + canvas-upload "
+                f"{up_ips:.0f} img/s ({up_mbs:.0f} MB/s relay) -> "
+                f"{e2e_ips / bound:.0%} of the rig bound "
+                f"min(decode, upload)={bound:.0f} "
+                f"(device ceiling = bench_device_pipeline line)")
 
         # The device ceiling for the encode stage is bench_encode's number
         # (11k+ img/s from HBM-resident batches). Re-uploading prepared
@@ -780,6 +810,22 @@ def bench_serve() -> None:
         log(f"bench_serve: first request (upload 1 GB + compile): "
             f"{time.perf_counter() - t0:.0f}s")
         query(warm_client, "warm2")
+        # Concurrent warm wave: the engine pads query batches to the
+        # {1, 8, 64} bucket ladder and each bucket compiles on first use —
+        # without this wave the Q=8 search-bucket compile lands inside the
+        # timed section and shows up as a ~10s p99 outlier (r4 rehearsal).
+        t0 = time.perf_counter()
+        wave = [
+            threading.Thread(
+                target=query, args=(TestClient(app), f"wave-{i}")
+            ) for i in range(threads)
+        ]
+        for t in wave:
+            t.start()
+        for t in wave:
+            t.join()
+        log(f"bench_serve: concurrent warm wave (Q-bucket compiles): "
+            f"{time.perf_counter() - t0:.0f}s")
 
         lat: list[float] = []
         lat_lock = threading.Lock()

@@ -42,6 +42,30 @@ def _bucket(n: int, cap: int) -> int:
     return min(b, cap)
 
 
+class PendingEmbeddings:
+    """Deferred result of ``encode_prepared*(..., fetch=False)``: the fused
+    dispatches are in flight on device; :meth:`resolve` performs the
+    device->host fetch (a pure relay round trip once the compute has
+    finished under subsequent host work) and returns the (n, embed_dim)
+    float32 embeddings. Single-use."""
+
+    def __init__(self, buckets: list, n: int, engine: "SearchEngine"):
+        self._buckets = buckets
+        self._n = n
+        self._engine = engine
+
+    def resolve(self) -> np.ndarray:
+        eng = self._engine
+        if self._n == 0:
+            return np.zeros((0, eng.spec.embed_dim), np.float32)
+        with eng.timers.stage("prep_encode_fetch"):
+            out = [np.asarray(b, np.float32) for b in self._buckets]
+        self._buckets = []  # free the device buffers promptly
+        emb = np.concatenate(out, axis=0)[: self._n]
+        eng.counters.add("images_encoded", self._n)
+        return emb
+
+
 def _canon(folder: str) -> str:
     """Canonical cache/lock key for a folder: two clients naming the same
     physical directory differently (relative vs absolute, `a/../b`,
@@ -146,6 +170,10 @@ class SearchEngine:
         return jnp.bfloat16 if self.cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
 
     # -- encoders --
+
+    # index.builder._pipelined_build probes this to pipeline batch N's
+    # fetch under batch N+1's dispatch via encode_prepared*(fetch=False)
+    supports_deferred_fetch = True
 
     @functools.cached_property
     def _jit_encode_text(self):
@@ -292,18 +320,26 @@ class SearchEngine:
 
     def encode_prepared(
         self, canvases: np.ndarray, a_h_u: np.ndarray, a_w_u: np.ndarray,
-        size_idx: np.ndarray,
-    ) -> np.ndarray:
+        size_idx: np.ndarray, fetch: bool = True,
+    ):
         """Host-prepared batch (canvases + unique-size resample matrices +
         per-image size index) -> (B, embed_dim) embeddings via the fused
         program; pads the batch to a bucket size. With >1 device the batch
         axis is sharded across the mesh (per-image math is independent, so
-        sharded results are identical to single-device)."""
+        sharded results are identical to single-device).
+
+        ``fetch=False`` returns a :class:`PendingEmbeddings` instead of a
+        numpy array: the dispatches are issued but the device->host fetch
+        is deferred to ``.resolve()``. The indexing pipeline uses this to
+        overlap batch N's fetch (a pure relay round trip by then — the
+        compute finished under batch N+1's decode) with further host work
+        instead of serializing upload -> compute -> fetch per batch."""
         import jax
 
         n = canvases.shape[0]
         if n == 0:
-            return np.zeros((0, self.spec.embed_dim), np.float32)
+            empty = np.zeros((0, self.spec.embed_dim), np.float32)
+            return empty if fetch else PendingEmbeddings([], 0, self)
         b = _bucket(n, max(self._index_batch, 1))
         sharding = self._encode_sharding
         if sharding is not None:
@@ -335,8 +371,10 @@ class SearchEngine:
                         self.params, batch, a_h_u, a_w_u, size_idx[sl]
                     )
                 )
-                if len(in_flight) >= 2:
+                if fetch and len(in_flight) >= 2:
                     out.append(np.asarray(in_flight.pop(0)))
+            if not fetch:
+                return PendingEmbeddings(in_flight, n, self)
             out.extend(np.asarray(o) for o in in_flight)
         emb = np.concatenate(out, axis=0)[:n]
         self.counters.add("images_encoded", n)
@@ -346,15 +384,18 @@ class SearchEngine:
         self, y_canvas: np.ndarray, c_canvas: np.ndarray,
         a_h_y: np.ndarray, a_w_y: np.ndarray,
         a_h_c: np.ndarray, a_w_c: np.ndarray, size_idx: np.ndarray,
-    ) -> np.ndarray:
+        fetch: bool = True,
+    ):
         """prepare_batch_planar output -> (B, embed_dim) embeddings via
-        the fused planar program; same bucket padding, DP sharding, and
-        two-bucket pipelining as encode_prepared."""
+        the fused planar program; same bucket padding, DP sharding,
+        two-bucket pipelining, and ``fetch=False`` deferral as
+        encode_prepared."""
         import jax
 
         n = y_canvas.shape[0]
         if n == 0:
-            return np.zeros((0, self.spec.embed_dim), np.float32)
+            empty = np.zeros((0, self.spec.embed_dim), np.float32)
+            return empty if fetch else PendingEmbeddings([], 0, self)
         b = _bucket(n, max(self._index_batch, 1))
         sharding = self._encode_sharding
         if sharding is not None:
@@ -390,8 +431,10 @@ class SearchEngine:
                         size_idx[sl],
                     )
                 )
-                if len(in_flight) >= 2:
+                if fetch and len(in_flight) >= 2:
                     out.append(np.asarray(in_flight.pop(0)))
+            if not fetch:
+                return PendingEmbeddings(in_flight, n, self)
             out.extend(np.asarray(o) for o in in_flight)
         emb = np.concatenate(out, axis=0)[:n]
         self.counters.add("images_encoded", n)

@@ -335,8 +335,19 @@ def _pipelined_build(
         except BaseException as e:  # surface producer crashes to the consumer
             safe_put(e)
 
+    # Deferred-fetch pipelining (supported by the engine encoder; a plain
+    # encode_batch callable stays synchronous): dispatch batch N+1's fused
+    # program BEFORE fetching batch N's embeddings. By the time batch N is
+    # fetched its compute has finished under batch N+1's decode/upload, so
+    # the fetch is one pure relay round trip instead of a serialized
+    # upload -> compute -> fetch chain per batch. One batch deep: append
+    # order (= row order) is preserved and at most one extra bucket of
+    # embeddings lives on device.
+    deferred = getattr(encoder, "supports_deferred_fetch", False)
+
     thread = threading.Thread(target=producer, name="index-producer", daemon=True)
     thread.start()
+    pending = None  # (PendingEmbeddings, paths, meta)
     try:
         while True:
             item = out.get()
@@ -345,11 +356,23 @@ def _pipelined_build(
             if isinstance(item, BaseException):
                 raise item
             kind, prepared, bpaths, bmeta = item
-            if kind == "planar":
-                emb = encoder.encode_prepared_planar(*prepared)
+            if deferred:
+                if kind == "planar":
+                    pend = encoder.encode_prepared_planar(*prepared, fetch=False)
+                else:
+                    pend = encoder.encode_prepared(*prepared, fetch=False)
+                if pending is not None:
+                    writer.append(pending[0].resolve(), pending[1], pending[2])
+                pending = (pend, bpaths, bmeta)
             else:
-                emb = encoder.encode_prepared(*prepared)
-            writer.append(np.asarray(emb, np.float32), bpaths, bmeta)
+                if kind == "planar":
+                    emb = encoder.encode_prepared_planar(*prepared)
+                else:
+                    emb = encoder.encode_prepared(*prepared)
+                writer.append(np.asarray(emb, np.float32), bpaths, bmeta)
+        if pending is not None:
+            writer.append(pending[0].resolve(), pending[1], pending[2])
+            pending = None
         thread.join()
     except BaseException:
         # Consumer failure (ENOSPC, XLA error, ...): signal the producer

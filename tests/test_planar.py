@@ -228,9 +228,9 @@ def test_oversized_planar_reroutes_to_rgb(monkeypatch, tmp_path):
     calls = []
     orig = eng.encode_prepared
 
-    def spy(*a):
+    def spy(*a, **kw):
         calls.append(a[0].shape)
-        return orig(*a)
+        return orig(*a, **kw)
 
     monkeypatch.setattr(eng, "encode_prepared", spy)
     try:

@@ -276,3 +276,56 @@ def test_prepare_batch_canvas_bytes_shrink():
         a_w[u].astype(np.float64),
     )
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9)
+
+
+# ---- deferred-fetch indexing pipeline ------------------------------------
+
+
+def test_deferred_fetch_matches_sync(engine, folder):
+    """encode_prepared(fetch=False).resolve() == encode_prepared(): the
+    indexing pipeline's deferred fetch must be bit-identical to the
+    synchronous path (same dispatches, fetch merely postponed)."""
+    from evossearch_tpu.preprocess import prepare_batch
+
+    rng = np.random.default_rng(5)
+    arrays = [rng.integers(0, 256, (48, 64, 3), np.uint8) for _ in range(5)]
+    prepared = prepare_batch(arrays, target=TINY.image_size)
+    sync = engine.encode_prepared(*prepared)
+    pend = engine.encode_prepared(*prepared, fetch=False)
+    from evossearch_tpu.engine import PendingEmbeddings
+
+    assert isinstance(pend, PendingEmbeddings)
+    np.testing.assert_array_equal(pend.resolve(), sync)
+
+
+def test_builder_uses_deferred_fetch(engine, folder, monkeypatch):
+    """The pipelined build routes through fetch=False exactly once per
+    batch and the resulting store matches a build with deferral disabled."""
+    from evossearch_tpu.index.store import IndexReader
+
+    fetch_args = []
+    orig = SearchEngine.encode_prepared_planar
+
+    def spy(self, *a, **kw):
+        fetch_args.append(kw.get("fetch", True))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(SearchEngine, "encode_prepared_planar", spy)
+    orig_rgb = SearchEngine.encode_prepared
+
+    def spy_rgb(self, *a, **kw):
+        fetch_args.append(kw.get("fetch", True))
+        return orig_rgb(self, *a, **kw)
+
+    monkeypatch.setattr(SearchEngine, "encode_prepared", spy_rgb)
+    assert engine.index_folder(str(folder)) == 3
+    assert fetch_args and all(f is False for f in fetch_args)
+    emb_deferred = IndexReader.open(str(folder)).embeddings().copy()
+
+    # deferral off -> synchronous arm -> identical rows
+    monkeypatch.setattr(SearchEngine, "supports_deferred_fetch", False)
+    fetch_args.clear()
+    assert engine.index_folder(str(folder)) == 3
+    assert fetch_args and all(f is True for f in fetch_args)
+    emb_sync = IndexReader.open(str(folder)).embeddings()
+    np.testing.assert_array_equal(emb_deferred, emb_sync)
