@@ -851,6 +851,17 @@ def bench_serve() -> None:
             t.join()
         wall = time.perf_counter() - t0
         qps = len(lat) / wall
+        # micro-batching effectiveness: how many device dispatches served
+        # the burst (text tower + search), i.e. the achieved batch sizes
+        tb = eng.__dict__.get("_text_batcher_inst")
+        sb = eng.__dict__.get("_batcher_inst")
+        if tb is not None and sb is not None:
+            log(f"bench_serve: text {tb.batched_texts} encodes in "
+                f"{tb.dispatches} dispatches "
+                f"(avg {tb.batched_texts / max(tb.dispatches, 1):.1f}/batch); "
+                f"search {sb.batched_queries} queries in {sb.dispatches} "
+                f"dispatches "
+                f"(avg {sb.batched_queries / max(sb.dispatches, 1):.1f}/batch)")
         summary(f"serve HTTP {threads} threads x {per_thread} fresh-text "
                 f"queries @1M bf16: {qps:.0f} qps, p50="
                 f"{np.percentile(lat, 50):.0f}ms p99="
