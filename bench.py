@@ -853,14 +853,16 @@ def bench_serve() -> None:
         qps = len(lat) / wall
         # micro-batching effectiveness: how many device dispatches served
         # the burst (text tower + search), i.e. the achieved batch sizes
-        tb = eng.__dict__.get("_text_batcher_inst")
+        fb = eng.__dict__.get("_fused_batcher_inst")
         sb = eng.__dict__.get("_batcher_inst")
-        if tb is not None and sb is not None:
-            log(f"bench_serve: text {tb.batched_texts} encodes in "
-                f"{tb.dispatches} dispatches "
-                f"(avg {tb.batched_texts / max(tb.dispatches, 1):.1f}/batch); "
-                f"search {sb.batched_queries} queries in {sb.dispatches} "
-                f"dispatches "
+        if fb is not None:
+            log(f"bench_serve: fused text->search {fb.batched_queries} "
+                f"queries in {fb.dispatches} one-round-trip dispatches "
+                f"(avg {fb.batched_queries / max(fb.dispatches, 1):.1f}"
+                f"/batch)")
+        if sb is not None and sb.dispatches:
+            log(f"bench_serve: embedding search {sb.batched_queries} "
+                f"queries in {sb.dispatches} dispatches "
                 f"(avg {sb.batched_queries / max(sb.dispatches, 1):.1f}/batch)")
         summary(f"serve HTTP {threads} threads x {per_thread} fresh-text "
                 f"queries @1M bf16: {qps:.0f} qps, p50="

@@ -124,7 +124,8 @@ class SearchEngine:
         process-lifetime singletons; close() exists for benches/tests
         that create several engines so worker threads don't accumulate."""
         for attr in (
-            "_batcher_inst", "_host_batcher_inst", "_text_batcher_inst"
+            "_batcher_inst", "_host_batcher_inst", "_text_batcher_inst",
+            "_fused_batcher_inst",
         ):
             inst = self.__dict__.get(attr)
             if inst is not None:
@@ -186,6 +187,38 @@ class SearchEngine:
         @jax.jit
         def fn(params, tokens):
             return encode_text(params, tokens, spec, compute_dtype=dtype)
+
+        return fn
+
+    @functools.cached_property
+    def _jit_text_search(self):
+        """ONE fused XLA program for the fresh-text serving path: text
+        tower + corpus top-k, returning a single packed (B, 2k+1+d) f32
+        array [scores | float(indices) | ok | query embeddings]. A
+        text-cache-miss search is then exactly one device dispatch + one
+        packed fetch — the split encode-then-search chain paid ~3 RPC
+        round trips per request on this rig's relay (each with the
+        ~27 ms floor), which dominated HTTP serving throughput. The
+        embedding columns ride home in the same fetch to seed the text
+        cache. The corpus is an explicit argument (never a closure
+        constant — see the dev-guide relay hazard); the selection flavor
+        is static and chosen per corpus by index.search.choose_packed_flavor
+        so rankings match the two-stage path's kernel routing."""
+        import jax
+        import jax.numpy as jnp
+
+        from .index.search import packed_topk
+        from .models import encode_text
+
+        spec, dtype = self.spec, self._compute_dtype
+
+        @functools.partial(
+            jax.jit, static_argnames=("k", "flavor", "interpret")
+        )
+        def fn(params, tokens, emb, k, flavor, interpret):
+            q = encode_text(params, tokens, spec, compute_dtype=dtype)
+            packed = packed_topk(emb, q, k, flavor, interpret)
+            return jnp.concatenate([packed, q], axis=1)
 
         return fn
 
@@ -523,12 +556,17 @@ class SearchEngine:
             else:
                 emb = self._jit_encode_text(self.params, tokens)
         self.counters.add("texts_encoded")
+        self._text_cache_put(text, emb)
+        return emb
+
+    def _text_cache_put(self, text: str, emb) -> None:
+        """Insert an embedding ((1, d) device row or numpy row — both
+        flow into every search path) into the LRU text cache."""
         with self._text_cache_lock:
             self._text_cache[text] = emb
             self._text_cache.move_to_end(text)
             while len(self._text_cache) > 1024:  # ~2 MB of 512-d f32
                 self._text_cache.popitem(last=False)
-        return emb
 
     # -- index operations --
 
@@ -749,6 +787,28 @@ class SearchEngine:
 
                     self._text_batcher_inst = TextEncodeBatcher(execute)
             return self._text_batcher_inst
+
+    @property
+    def _fused_batcher(self):
+        # Fused text->search batcher (serving.TextSearchBatcher): fresh
+        # text queries go out as ONE encode+search dispatch per
+        # concurrent same-folder batch. Same double-checked construction
+        # as _batcher; disabled with the micro-batcher.
+        inst = self.__dict__.get("_fused_batcher_inst", _UNSET)
+        if inst is not _UNSET:
+            return inst
+        with self._cache_lock:
+            if "_fused_batcher_inst" not in self.__dict__:
+                if self.cfg.MICROBATCH_MS <= 0:
+                    self._fused_batcher_inst = None
+                else:
+                    from .serving import TextSearchBatcher
+
+                    self._fused_batcher_inst = TextSearchBatcher(
+                        self._execute_text_search_batch,
+                        window_ms=self.cfg.MICROBATCH_MS,
+                    )
+            return self._fused_batcher_inst
 
     # -- HBM budget: device-byte accounting for cached corpora --
     #
@@ -1360,6 +1420,76 @@ class SearchEngine:
         s, i = self._execute_search_batch_padded(entry, reader, queries, k)
         return s[:q], i[:q]
 
+    def _fused_text_eligible(self, entry, reader) -> bool:
+        """Whether a folder's fresh-text searches can take the fused
+        one-dispatch encode+search program: a single-device exact kernel
+        over a device-resident corpus small enough for the packed f32
+        index encoding. IVF / sharded / host / SQ8 routes keep the
+        encode-then-route path (with its own batchers)."""
+        from .index.search import _PACK_MAX_ROWS
+
+        return (
+            self.cfg.INDEX_KIND != "ivf"
+            and reader.count < _PACK_MAX_ROWS
+            and self._resolve_kernel() in ("xla", "pallas", "best")
+            and self._fits_device(entry, reader)
+        )
+
+    def _execute_text_search_batch(self, folder: str, tokens, k: int):
+        """ONE fused device dispatch for a batch of fresh-text searches:
+        text tower + corpus top-k in a single XLA program, one packed
+        fetch of [scores | indices | ok | query embeddings]
+        (serving.TextSearchBatcher's executor). The split chain paid one
+        RPC round trip per stage — ~3 per request on this rig — which
+        capped HTTP serving at 43 qps; fused, a whole concurrent batch
+        costs one round trip. Folders that can't take the fused program
+        (re-index race, non-device routes) fall back to encode-then-
+        route inside this worker. Returns (scores (B, k'), indices
+        (B, k'), embeddings (B, d) f32 numpy)."""
+        entry, reader = self._cached_index(folder)
+        if reader is None:
+            raise LookupError("Folder not indexed")
+        k = min(k, reader.count)
+        b0 = tokens.shape[0]
+        if k == 0 or not self._fused_text_eligible(entry, reader):
+            # Rare here (search_text pre-routes): emptied or re-routed
+            # folder between submit and execution. Embeddings are still
+            # returned — the caller's text cache wants them.
+            emb = np.asarray(self._jit_encode_text(self.params, tokens))
+            if k == 0:
+                return (
+                    np.zeros((b0, 0), np.float32),
+                    np.zeros((b0, 0), np.int64),
+                    emb,
+                )
+            s, i = self._execute_search_batch(folder, emb, k)
+            return s, i, emb
+        from .index.search import (
+            _unpack_with_fallback, choose_packed_flavor, query_row_bucket,
+        )
+
+        # Same bucket ladder as the embedding path: the fused jit
+        # specializes on the token-batch rows, and concurrent load would
+        # otherwise compile a fresh program per distinct batch size.
+        pad = query_row_bucket(b0)
+        if pad > b0:
+            tokens = np.concatenate([
+                tokens,
+                np.broadcast_to(tokens[:1], (pad - b0,) + tokens.shape[1:]),
+            ])
+        emb_d = self._entry_emb(entry, reader)
+        flavor, interpret = choose_packed_flavor(
+            reader.count, reader.dim, k, emb_d.dtype, self._resolve_kernel()
+        )
+        packed = np.asarray(
+            self._jit_text_search(
+                self.params, tokens, emb_d, k, flavor, interpret
+            )
+        )
+        q = packed[:, 2 * k + 1 :]
+        s, i = _unpack_with_fallback(packed[:, : 2 * k + 1], emb_d, q, k)
+        return s[:b0], i[:b0], q[:b0]
+
     def _execute_search_batch_padded(self, entry, reader, queries, k: int):
         from .index.search import (
             best_exact_search_batch, exact_search_batch, pallas_search_batch,
@@ -1536,7 +1666,49 @@ class SearchEngine:
         return None
 
     def search_text(self, folder: str, query: str, k: int):
-        return self.search_embedding(folder, self._encode_text_device(query), k)
+        """Text query -> top-k over a folder. Fresh texts (cache misses)
+        against device-resident corpora ride the FUSED text->search
+        batcher: tokenize on host, then ONE device dispatch + ONE packed
+        fetch for a whole concurrent batch (encode + search + embedding
+        return). Cache hits and non-fused routes (IVF / sharded / host /
+        SQ8 / batching disabled) take the classic encode-then-search
+        path. Reference counterpart: oldapp.py:2005 (clip.tokenize +
+        model.encode_text + index.search per request)."""
+        with self._text_cache_lock:
+            cached = self._text_cache.get(query)
+            if cached is not None:
+                self._text_cache.move_to_end(query)
+        if cached is not None:
+            self.counters.add("text_cache_hits")
+            return self.search_embedding(folder, cached, k)
+        batcher = self._fused_batcher
+        if batcher is None:
+            return self.search_embedding(
+                folder, self._encode_text_device(query), k
+            )
+        entry, reader = self._cached_index(folder)
+        if reader is None:
+            return None
+        if reader.count == 0 or not self._fused_text_eligible(entry, reader):
+            return self.search_embedding(
+                folder, self._encode_text_device(query), k
+            )
+        tokens = self.tokenizer.tokenize(
+            [query], self.spec.context_length,
+            truncate=self.tokenizer.fallback,
+        )
+        with self.timers.stage("search"):
+            try:
+                scores, idx, emb_row = batcher.submit(
+                    _canon(folder), np.asarray(tokens[0], np.int32),
+                    min(k, reader.count),
+                )
+            except LookupError:
+                return None  # index vanished between the check and dispatch
+        self.counters.add("texts_encoded")
+        self.counters.add("queries")
+        self._text_cache_put(query, emb_row)
+        return scores, idx, reader
 
     def search_image(self, folder: str, pil_image, k: int):
         emb = self.encode_images([pil_image])[0]

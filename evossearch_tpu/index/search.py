@@ -144,16 +144,72 @@ def _fast_topk_batch(emb: jax.Array, queries: jax.Array, k: int):
 _PACK_MAX_ROWS = 1 << 24
 
 
+def packed_topk(
+    emb: jax.Array, queries: jax.Array, k: int, flavor: str,
+    interpret: bool = False,
+) -> jax.Array:
+    """TRACEABLE packed top-k: (Q, 2k+1) f32 [scores | float(indices) |
+    ok]. The one scoring+selection routine shared by the standalone
+    packed entry points below and by larger jit programs that fuse other
+    work around the search (the engine's one-dispatch text->search
+    serving program). Flavors mirror the module's routing policy:
+    "certified" (ApproxTopK + certificate), "exact" (blocked exact
+    selection, ok always 1), "block"/"tree" (the Pallas one-pass
+    kernels). Indices ride as f32 VALUES (exact below 2**24; see
+    _PACK_MAX_ROWS — callers must route larger corpora elsewhere)."""
+    if flavor in ("block", "tree"):
+        from ..ops.topk_pallas import fused_topk_batch, fused_topk_batch_tree
+
+        kernel = fused_topk_batch_tree if flavor == "tree" else fused_topk_batch
+        ok, s, i = kernel(
+            emb, queries.astype(jnp.float32), k, interpret=interpret
+        )
+    else:
+        scores = jnp.dot(
+            queries.astype(emb.dtype), emb.T,
+            preferred_element_type=jnp.float32,
+            precision=_score_precision(emb),
+        )
+        if flavor == "certified":
+            ok, s, i = _certified_topk(scores, k)
+        else:  # exact blocked selection — always certified by construction
+            s, i = jax.vmap(lambda row: blocked_top_k(row, k))(scores)
+            ok = jnp.ones((s.shape[0],), jnp.bool_)
+    return jnp.concatenate(
+        [s, i.astype(jnp.float32), ok[:, None].astype(jnp.float32)], axis=1
+    )
+
+
+def choose_packed_flavor(n: int, d: int, k: int, dtype, kernel: str):
+    """Per-corpus packed-kernel choice, mirroring pallas_search_batch /
+    best_exact_search_batch / exact_search_batch routing so a fused
+    caller selects the same scoring kernel the two-stage path would.
+    Returns (flavor, interpret) for packed_topk. Callers must separately
+    keep n < _PACK_MAX_ROWS (the packed index encoding's ceiling)."""
+    backend_cpu = jax.default_backend() == "cpu"
+    if kernel in ("pallas", "best"):
+        eligible = d % 128 == 0 and 0 < k <= 128 and 512 <= n < _PACK_MAX_ROWS
+        if kernel == "best" and (backend_cpu or n < _FAST_PATH_MIN_ROWS):
+            eligible = False  # best_exact_search_batch's documented policy
+        if eligible:
+            from ..ops.topk_pallas import use_tree_kernel
+
+            return (
+                "tree" if use_tree_kernel(n, k, dtype) else "block",
+                backend_cpu,  # explicit pallas on CPU = interpret (tests)
+            )
+    if _FAST_PATH_MIN_ROWS <= n < _PACK_MAX_ROWS and k <= 128:
+        return "certified", False
+    return "exact", False
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _fast_topk_batch_packed(emb: jax.Array, queries: jax.Array, k: int):
     """Same as _fast_topk_batch, packed into ONE (Q, 2k+1) f32 array:
     [scores | float(indices) | ok]. One device->host fetch instead of
     three — device->host round-trips are not free (this rig's relay
     charges ~30ms each; even PCIe charges latency)."""
-    ok, s, i = _fast_topk_batch(emb, queries, k)
-    return jnp.concatenate(
-        [s, i.astype(jnp.float32), ok[:, None].astype(jnp.float32)], axis=1
-    )
+    return packed_topk(emb, queries, k, "certified")
 
 
 def query_row_bucket(q: int) -> int:
@@ -418,13 +474,7 @@ def _pallas_topk_packed(emb: jax.Array, queries: jax.Array, k: int,
     """Pallas one-pass kernel + packed (Q, 2k+1) f32 result:
     [scores | float(indices) | ok] — one device->host fetch. Indices ride
     as f32 values (exact below 2**24; see _PACK_MAX_ROWS note above)."""
-    from ..ops.topk_pallas import fused_topk_batch, fused_topk_batch_tree
-
-    kernel = fused_topk_batch_tree if tree else fused_topk_batch
-    ok, s, i = kernel(emb, queries, k, interpret=interpret)
-    return jnp.concatenate(
-        [s, i.astype(jnp.float32), ok[:, None].astype(jnp.float32)], axis=1
-    )
+    return packed_topk(emb, queries, k, "tree" if tree else "block", interpret)
 
 
 def pallas_search_batch(emb, queries: np.ndarray, k: int):

@@ -215,6 +215,8 @@ class MicroBatcher:
         self._fail_pending("micro-batcher closed")
 
     def _run(self, folder: str, batch: list[_Pending]) -> None:
+        """Execute one folder-grouped batch; overridden by the fused
+        text-search subclass below (queueing/grouping is shared)."""
         try:
             # Queries arrive as (d,) numpy rows (image/stored-embedding
             # flows) or (1, d) DEVICE rows (text flow). The solo-device
@@ -251,6 +253,47 @@ class MicroBatcher:
                 )
         except Exception as e:
             log.warning("batched search failed: %s", e)
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(e)
+
+
+class TextSearchBatcher(MicroBatcher):
+    """Folder-grouped micro-batching for FRESH TEXT searches — the fused
+    twin of MicroBatcher (queueing/grouping inherited; only the batch
+    payload and execution differ). Each item carries its tokenized query;
+    the executor runs the engine's one-program text-encode+search
+    dispatch, so a whole concurrent batch of text-cache misses costs ONE
+    device round trip. The two-batcher chain this replaces
+    (TextEncodeBatcher dispatch -> per-row device slice -> MicroBatcher
+    dispatch + fetch) paid ~3 serialized RPC round trips per request
+    under load — measured 43 qps / p99 3.5 s on this rig's ~27 ms-floor
+    relay, with the text stage averaging only 1.6 queries per dispatch
+    because requests queued behind its per-tiny-batch round trips.
+
+    ``execute_batch(folder, tokens (B, ctx) int32, k)`` ->
+    (scores (B, k), indices (B, k), embeddings (B, d) float32). submit()
+    returns (scores (k',), indices (k',), embedding (1, d)); the
+    embedding row feeds the engine's text cache so repeat queries skip
+    the tower entirely."""
+
+    def _run(self, folder: str, batch: list[_Pending]) -> None:
+        try:
+            tokens = np.stack(
+                [np.asarray(p.query, np.int32) for p in batch]
+            )
+            k = max(p.k for p in batch)
+            scores, indices, emb = self._execute_batch(folder, tokens, k)
+            self.dispatches += 1
+            self.batched_queries += len(batch)
+            for row, p in enumerate(batch):
+                p.future.set_result((
+                    scores[row, : p.k].copy(),
+                    indices[row, : p.k].copy(),
+                    emb[row : row + 1].copy(),
+                ))
+        except Exception as e:
+            log.warning("fused text search failed: %s", e)
             for p in batch:
                 if not p.future.done():
                     p.future.set_exception(e)

@@ -144,6 +144,88 @@ def test_engine_ivf_through_batcher(tmp_path, monkeypatch):
     np.testing.assert_allclose(s1, s0, atol=1e-5)
 
 
+def test_fused_text_search_equals_direct(tmp_path, monkeypatch):
+    """Fresh-text searches ride the fused one-dispatch encode+search
+    batcher; concurrent queries group, every result matches the direct
+    (unbatched two-stage) path, and the fused pass seeds the text cache
+    so a repeat query skips the tower."""
+    import threading
+
+    rng = np.random.default_rng(3)
+    for i in range(9):
+        arr = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"i{i}.jpg", quality=90)
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    monkeypatch.setenv("EVOSSEARCH_SEARCH_KERNEL", "xla")
+
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", "0")  # direct
+    direct = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    assert direct.index_folder(str(tmp_path)) == 9
+    texts = [f"fused query {i}" for i in range(10)]
+    want = {t: direct.search_text(str(tmp_path), t, 4) for t in texts}
+
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", "2.0")
+    batched = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    got = {}
+    lock = threading.Lock()
+
+    def hit(t):
+        res = batched.search_text(str(tmp_path), t, 4)
+        with lock:
+            got[t] = res
+
+    ts = [threading.Thread(target=hit, args=(t,)) for t in texts]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    for t in texts:
+        s0, i0, _ = want[t]
+        s1, i1, _ = got[t]
+        np.testing.assert_array_equal(i1, i0, err_msg=t)
+        np.testing.assert_allclose(s1, s0, atol=1e-5)
+    fb = batched._fused_batcher
+    assert fb is not None and fb.batched_queries == len(texts)
+    assert fb.dispatches >= 1
+    # repeat query = text-cache hit: no new fused dispatch
+    before = fb.dispatches
+    s2, i2, _ = batched.search_text(str(tmp_path), texts[0], 4)
+    np.testing.assert_array_equal(i2, want[texts[0]][1])
+    assert fb.dispatches == before
+    assert batched.counters.snapshot().get("text_cache_hits", 0) >= 1
+    batched.close()
+    direct.close()
+    # post-close fused submits fail fast instead of hanging
+    with pytest.raises(RuntimeError):
+        fb.submit(str(tmp_path), np.zeros(TINY.context_length, np.int32), 2)
+
+
+def test_fused_text_search_ineligible_routes_fall_back(tmp_path, monkeypatch):
+    """Folders the fused program can't serve (IVF kind here) still answer
+    fresh-text searches correctly through the encode-then-route path."""
+    rng = np.random.default_rng(4)
+    for i in range(10):
+        arr = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"i{i}.jpg", quality=90)
+    monkeypatch.setenv("EVOSSEARCH_COMPUTE_DTYPE", "float32")
+    monkeypatch.setenv("EVOSSEARCH_INDEX_KIND", "ivf")
+    monkeypatch.setenv("EVOSSEARCH_IVF_NLIST", "2")
+    monkeypatch.setenv("EVOSSEARCH_IVF_NPROBE", "2")
+
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", "0")
+    direct = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    assert direct.index_folder(str(tmp_path)) == 10
+    s0, i0, _ = direct.search_text(str(tmp_path), "fallback", 5)
+
+    monkeypatch.setenv("EVOSSEARCH_MICROBATCH_MS", "2.0")
+    batched = SearchEngine(cfg=Config(env_path=None), spec=TINY)
+    s1, i1, _ = batched.search_text(str(tmp_path), "fallback", 5)
+    np.testing.assert_array_equal(i1, i0)
+    np.testing.assert_allclose(s1, s0, atol=1e-5)
+    fb = batched.__dict__.get("_fused_batcher_inst")
+    assert fb is None or fb.dispatches == 0  # routed around the fused path
+    batched.close()
+    direct.close()
+
+
 def test_text_encode_batcher_equivalence(tmp_path, monkeypatch):
     """Concurrent text encodes through the TextEncodeBatcher must be
     numerically equivalent to the direct single-text path (the batched
