@@ -13,10 +13,19 @@ immediately when the worker is idle — a solo query pays ~zero extra
 latency (the round-1 design slept a fixed window before EVERY dispatch)
 — and queries arriving while a dispatch is in flight accumulate and go
 out as the next batch, so bursts amortize automatically. The device
-dispatch duration itself is the batching window. ``window_ms`` remains
-the enable/disable knob (engine builds no batcher at 0) but no longer
-adds latency. Searches against different folders are grouped per
-folder, preserving result equivalence with the unbatched path (tested).
+dispatch duration itself is the main batching window. One refinement
+under STEADY load (a round just completed): the worker settles while
+the queue keeps growing — the finished round's clients re-submit
+staggered by their GIL-serialized host work (~3 ms apart on this 1-core
+rig), and the round-trip rate is relay-capped (depth-2 pipelining
+measured no overlap to win), so batch FILL is the only serving
+throughput lever. The settle breaks after ~3.5 ms without growth and is
+capped at the last dispatch's own duration (waiting can at most double
+a round, and only when it keeps collecting), floored by ``window_ms``.
+``window_ms`` remains the enable/disable knob (engine builds no batcher
+at 0); idle-worker dispatches never wait. Searches against different
+folders are grouped per folder, preserving result equivalence with the
+unbatched path (tested).
 """
 
 from __future__ import annotations
@@ -152,8 +161,10 @@ class MicroBatcher:
         self, execute_batch, window_ms: float = 2.0, max_batch: int = 64
     ):
         self._execute_batch = execute_batch
-        # window_ms kept as the enable knob / API surface; batching is
-        # natural (see module docstring) so it adds no latency here.
+        # window_ms: enable knob AND the floor of the steady-load settle
+        # cap (below). A solo query on an idle worker never waits.
+        self._window_s = window_ms * 1e-3
+        self._last_dispatch_s = 0.0  # duration of the last _run round
         self._max_batch = max_batch
         self._lock = threading.Lock()
         self._queue: list[_Pending] = []
@@ -195,12 +206,53 @@ class MicroBatcher:
     # -- worker --
 
     def _loop(self) -> None:
+        import time
+
+        last_round_end = 0.0
         while not self._stop:
             self._wake.wait()
             if self._stop:
                 break
             self._wake.clear()
             while True:
+                with self._lock:
+                    qlen = len(self._queue)
+                if not qlen:
+                    break
+                # Steady-load settle: when a round JUST finished, its
+                # clients are re-submitting staggered by their per-request
+                # host work (GIL-serialized on this 1-core rig, ~3 ms
+                # apart), so the queue at this instant holds only part of
+                # the wave. Round-trip rate is relay-capped (depth-2
+                # pipelining measured ~31 vs ~35 ms/round — no overlap to
+                # win), so batch FILL is the only serving-throughput
+                # lever: keep collecting while the queue grows, break
+                # after a no-growth grace longer than the arrival stagger,
+                # and cap the total wait at the last dispatch's own
+                # duration (waiting can at most double a round — and only
+                # while it keeps collecting). An idle worker (no round in
+                # the last 50 ms) skips this entirely — a solo query pays
+                # zero extra latency, the natural-batching contract above.
+                if (
+                    qlen < self._max_batch
+                    and time.monotonic() - last_round_end < 0.05
+                ):
+                    cap = max(self._window_s, self._last_dispatch_s)
+                    deadline = time.monotonic() + min(cap, 0.030)
+                    grace = 0.0035
+                    prev = qlen
+                    last_growth = time.monotonic()
+                    while time.monotonic() < deadline:
+                        time.sleep(0.001)
+                        with self._lock:
+                            cur = len(self._queue)
+                        if cur >= self._max_batch:
+                            break
+                        if cur > prev:
+                            prev = cur
+                            last_growth = time.monotonic()
+                        elif time.monotonic() - last_growth > grace:
+                            break
                 with self._lock:
                     if not self._queue:
                         break
@@ -210,7 +262,10 @@ class MicroBatcher:
                     ]
                     for p in batch:
                         self._queue.remove(p)
+                t0 = time.monotonic()
                 self._run(folder, batch)
+                last_round_end = time.monotonic()
+                self._last_dispatch_s = last_round_end - t0
         # items that raced a close(): fail them, don't strand the callers
         self._fail_pending("micro-batcher closed")
 
