@@ -66,6 +66,49 @@ def test_microbatcher_groups_and_matches_oracle():
         mb.close()
 
 
+def test_steady_load_settle_fills_batches():
+    """Closed-loop clients re-submit staggered just after a round ends;
+    without the settle the worker alternates 1-then-(n-1) sized batches
+    (it dispatches the first straggler alone). With the growth-settle the
+    wave coalesces: ~one dispatch per round of clients. Results must stay
+    correct either way; the dispatch count is the regression signal."""
+    rng = np.random.default_rng(7)
+    corpus = rng.standard_normal((100, 16)).astype(np.float32)
+    calls = []
+
+    def execute(folder, queries, k):
+        calls.append(queries.shape[0])
+        time.sleep(0.03)  # the device round trip IS the rate limiter
+        scores = queries @ corpus.T
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(scores, order, axis=1), order
+
+    n_threads, n_rounds = 6, 4
+    queries = rng.standard_normal((n_threads, 16)).astype(np.float32)
+    mb = MicroBatcher(execute, window_ms=2.0)
+    try:
+        ok = []
+
+        def client(i):
+            for _ in range(n_rounds):
+                s, idx = mb.submit("/f", queries[i], 5)
+                exp = np.argsort(-(queries[i] @ corpus.T), kind="stable")[:5]
+                ok.append(bool((idx == exp).all()))
+                time.sleep(0.001)  # per-request host work -> staggered wave
+
+        ts = [threading.Thread(target=client, args=(i,))
+              for i in range(n_threads)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert all(ok) and len(ok) == n_threads * n_rounds
+        assert sum(calls) == n_threads * n_rounds
+        # un-settled alternation would need ~2 dispatches per round
+        # (1 + n-1); the settle gets ~1. Loose bound: < 1.5x rounds + warmup.
+        assert len(calls) <= n_rounds + n_rounds // 2 + 2, calls
+    finally:
+        mb.close()
+
+
 def test_batcher_propagates_errors():
     def execute(folder, queries, k):
         raise LookupError("Folder not indexed")
