@@ -239,7 +239,13 @@ class MicroBatcher:
                 ):
                     cap = max(self._window_s, self._last_dispatch_s)
                     deadline = time.monotonic() + min(cap, 0.030)
-                    grace = 0.0035
+                    # grace > the worst per-client re-submit stagger seen
+                    # on this rig (response serialize + next parse +
+                    # tokenize, GIL-serialized: ~3 ms typical with jitter
+                    # to ~7 ms). 3.5 ms grace collected 5.3/8 of the wave
+                    # (101 qps); the cap, not the grace, should be what
+                    # ends a growing collection.
+                    grace = 0.008
                     prev = qlen
                     last_growth = time.monotonic()
                     while time.monotonic() < deadline:
