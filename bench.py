@@ -363,9 +363,14 @@ def bench_index() -> None:
         dec_ips = n_ok / (time.perf_counter() - t0)
 
         # Upload ceiling: ship the EXACT windowed planar canvases the
-        # pipeline ships for one batch, synced by a tiny on-device reduce
-        # (block_until_ready is a no-op under this relay; fetching the
-        # canvases back would measure the download direction instead).
+        # pipeline ships, STREAMED the way the pipeline streams them —
+        # all batches queued asynchronously, ONE tiny on-device reduce
+        # synced at the end (block_until_ready is a no-op under this
+        # relay; fetching the canvases back would measure the download
+        # direction; and syncing per batch would bill ~2 RPC floors per
+        # batch that the real dispatch-N+1-before-fetch-N pipeline never
+        # pays — an early per-rep version measured e2e at "143% of the
+        # bound" on a slow-relay day for exactly that reason).
         # e2e is bounded by min(decode, upload) on this rig — decode costs
         # the 1 host core, upload costs the relay serialization.
         import jax
@@ -380,20 +385,32 @@ def bench_index() -> None:
         yc, cc, *_rest = prepare_batch_planar(
             planes, target=eng.spec.image_size
         )
-        up_reps = 4
+        up_reps = 6
         t0 = time.perf_counter()
+        acc = None
         for _ in range(up_reps):
             yd, cd = jax.device_put(yc), jax.device_put(cc)
-            np.asarray(jnp.max(yd) + jnp.max(cd))  # sync w/o fetching bytes
+            part = jnp.max(yd) + jnp.max(cd)
+            acc = part if acc is None else acc + part
+        np.asarray(acc)  # one sync covering every queued upload
         up_dt = time.perf_counter() - t0
         up_ips = up_reps * len(planes) / up_dt
         up_mbs = up_reps * (yc.nbytes + cc.nbytes) / up_dt / 1e6
         bound = min(dec_ips, up_ips)
+        # The relay's sustained rate swings ~+-25% minute to minute
+        # (observed 15-22 MB/s across same-day runs), so when the e2e
+        # run catches a faster relay minute than the ceiling probe it can
+        # "exceed" the bound — say that, never report >100% of a bound.
+        if e2e_ips <= bound:
+            verdict = f"{e2e_ips / bound:.0%} of the rig bound"
+        else:
+            verdict = (f"AT the rig bound (exceeds the separately-probed "
+                       f"ceiling by {e2e_ips / bound - 1:.0%} = relay "
+                       f"run-to-run variance)")
         summary(f"bench_index: e2e {e2e_ips:.0f} img/s vs decode-only "
                 f"{dec_ips:.0f} img/s + canvas-upload "
                 f"{up_ips:.0f} img/s ({up_mbs:.0f} MB/s relay) -> "
-                f"{e2e_ips / bound:.0%} of the rig bound "
-                f"min(decode, upload)={bound:.0f} "
+                f"{verdict}; min(decode, upload)={bound:.0f} "
                 f"(device ceiling = bench_device_pipeline line)")
 
         # The device ceiling for the encode stage is bench_encode's number
