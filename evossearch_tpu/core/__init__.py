@@ -3,6 +3,7 @@ from .constants import (
     CLIP_IMAGE_STD,
     CLIP_MODEL_SPECS,
     CLIPModelSpec,
+    CLIPResNetSpec,
 )
 from .config import Config, config, load_env_file, write_env_file
 
@@ -11,6 +12,7 @@ __all__ = [
     "CLIP_IMAGE_STD",
     "CLIP_MODEL_SPECS",
     "CLIPModelSpec",
+    "CLIPResNetSpec",
     "Config",
     "config",
     "load_env_file",

@@ -243,7 +243,8 @@ class SearchEngine:
         # batched matmuls underfeed the MXU otherwise (measured 1.57x on
         # the tower at batch 512 on v5e). Identical math (models/clip.py).
         want_merge = 2 if (
-            spec.num_image_tokens < 128 and jax.default_backend() != "cpu"
+            spec.family == "vit" and spec.num_image_tokens < 128
+            and jax.default_backend() != "cpu"
         ) else 1
 
         @_ft.partial(jax.jit, static_argnames=("m",))
@@ -274,7 +275,8 @@ class SearchEngine:
 
         spec, dtype = self.spec, self._compute_dtype
         want_merge = 2 if (
-            spec.num_image_tokens < 128 and jax.default_backend() != "cpu"
+            spec.family == "vit" and spec.num_image_tokens < 128
+            and jax.default_backend() != "cpu"
         ) else 1
 
         @_ft.partial(jax.jit, static_argnames=("m",))

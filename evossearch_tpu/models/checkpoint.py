@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..core.constants import CLIPModelSpec
+from ..core.constants import CLIPModelSpec, CLIPResNetSpec
 
 
 def _flatten(tree: dict, prefix: str = "") -> dict[str, np.ndarray]:
@@ -50,8 +50,9 @@ def save_params(path: str | Path, params: dict, spec: CLIPModelSpec) -> Path:
         path = path.with_name(path.name + ".npz")
     path.parent.mkdir(parents=True, exist_ok=True)
     flat = _flatten(params)
+    spec_dict = dict(dataclasses.asdict(spec), family=spec.family)
     flat["__spec__"] = np.frombuffer(
-        json.dumps(dataclasses.asdict(spec)).encode(), dtype=np.uint8
+        json.dumps(spec_dict).encode(), dtype=np.uint8
     )
     np.savez(path, **flat)
     return path
@@ -61,7 +62,11 @@ def load_params(path: str | Path) -> tuple[dict, CLIPModelSpec]:
     with np.load(Path(path), allow_pickle=False) as data:
         flat = {k: data[k] for k in data.files}
     spec_raw = bytes(flat.pop("__spec__")).decode()
-    spec = CLIPModelSpec(**json.loads(spec_raw))
+    spec_dict = json.loads(spec_raw)
+    # pre-round-4 checkpoints carry no family key: they are all ViT
+    family = spec_dict.pop("family", "vit")
+    cls = CLIPResNetSpec if family == "resnet" else CLIPModelSpec
+    spec = cls(**spec_dict)
     return _unflatten(flat), spec
 
 

@@ -84,7 +84,19 @@ def encode_image(
     matmuls; merging 2 images into a 100-token masked sequence measured
     1.57x faster on the tower at batch 512 on v5e. The block-diagonal
     mask keeps the math identical per image (see _merge_mask).
+
+    ResNet-family specs (RN50 etc.) dispatch to the modified-ResNet tower
+    in resnet.py; seq_merge is a ViT-only optimization there.
     """
+    if spec.family == "resnet":
+        if seq_merge != 1:
+            raise ValueError("seq_merge applies to ViT towers only")
+        from .resnet import encode_image_resnet
+
+        return encode_image_resnet(
+            params, images, spec, compute_dtype=compute_dtype,
+            normalize=normalize, remat=remat,
+        )
     v = params["visual"]
     cfg = TowerConfig(
         width=spec.vision_width, layers=spec.vision_layers,
@@ -141,12 +153,39 @@ def encode_text(
     return emb
 
 
+def _init_text(kt, kte, ktb, kpt, spec) -> dict:
+    """Text tower init — shared by the ViT and ResNet variants (the OpenAI
+    release pairs BOTH image-tower families with this same transformer)."""
+    tw = spec.text_width
+    return {
+        "token_embed": jax.random.normal(kt, (spec.vocab_size, tw)) * 0.02,
+        "pos_embed": jax.random.normal(kte, (spec.context_length, tw)) * 0.01,
+        "blocks": init_tower_params(
+            ktb,
+            TowerConfig(
+                width=tw, layers=spec.text_layers, heads=spec.text_heads,
+                causal=True,
+            ),
+        ),
+        "ln_final": {"scale": jnp.ones((tw,)), "bias": jnp.zeros((tw,))},
+        "proj": jax.random.normal(kpt, (tw, spec.embed_dim)) * (tw ** -0.5),
+    }
+
+
 def init_params(key: jax.Array, spec: CLIPModelSpec) -> dict:
     """Random-init full CLIP param pytree (OpenAI init scheme)."""
     # 9 distinct keys: reusing one key for two draws makes the underlying
     # random streams identical (counter-based PRNG), correlating e.g. the
     # visual and text positional embeddings at from-scratch training init.
     kv, kt, kp, kc, ke, kpv, kpt, kte, ktb = jax.random.split(key, 9)
+    if spec.family == "resnet":
+        from .resnet import init_visual_resnet
+
+        return {
+            "visual": init_visual_resnet(kv, spec),
+            "text": _init_text(kt, kte, ktb, kpt, spec),
+            "logit_scale": jnp.asarray(jnp.log(1 / 0.07), dtype=jnp.float32),
+        }
     vw, tw = spec.vision_width, spec.text_width
     patch_dim = spec.patch_size * spec.patch_size * 3
     return {
@@ -165,18 +204,7 @@ def init_params(key: jax.Array, spec: CLIPModelSpec) -> dict:
             "ln_post": {"scale": jnp.ones((vw,)), "bias": jnp.zeros((vw,))},
             "proj": jax.random.normal(kpv, (vw, spec.embed_dim)) * (vw ** -0.5),
         },
-        "text": {
-            "token_embed": jax.random.normal(kt, (spec.vocab_size, tw)) * 0.02,
-            "pos_embed": jax.random.normal(kte, (spec.context_length, tw)) * 0.01,
-            "blocks": init_tower_params(
-                ktb,
-                TowerConfig(
-                    width=tw, layers=spec.text_layers, heads=spec.text_heads, causal=True
-                ),
-            ),
-            "ln_final": {"scale": jnp.ones((tw,)), "bias": jnp.zeros((tw,))},
-            "proj": jax.random.normal(kpt, (tw, spec.embed_dim)) * (tw ** -0.5),
-        },
+        "text": _init_text(kt, kte, ktb, kpt, spec),
         "logit_scale": jnp.asarray(jnp.log(1 / 0.07), dtype=jnp.float32),
     }
 
@@ -187,7 +215,9 @@ def count_params(params: dict) -> int:
 
 def expected_param_count(spec: CLIPModelSpec) -> int:
     """Analytic parameter count for a spec (sanity anchor: ViT-B/32 ==
-    151,277,313 and ViT-B/16 == 149,620,737, the OpenAI release counts)."""
+    151,277,313 and ViT-B/16 == 149,620,737, the OpenAI release counts).
+    ResNet-family pytrees additionally carry the BN running stats that
+    torch keeps as buffers; the count here matches OUR pytree."""
 
     def tower(width: int, layers: int) -> int:
         attn = width * 3 * width + 3 * width + width * width + width
@@ -196,14 +226,19 @@ def expected_param_count(spec: CLIPModelSpec) -> int:
         return layers * (attn + mlp + lns)
 
     vw, tw = spec.vision_width, spec.text_width
-    visual = (
-        spec.patch_size * spec.patch_size * 3 * vw  # patch embed (no bias)
-        + vw  # class embedding
-        + spec.num_image_tokens * vw  # pos embed
-        + 2 * vw + 2 * vw  # ln_pre + ln_post
-        + tower(vw, spec.vision_layers)
-        + vw * spec.embed_dim  # projection
-    )
+    if spec.family == "resnet":
+        from .resnet import expected_visual_param_count
+
+        visual = expected_visual_param_count(spec)
+    else:
+        visual = (
+            spec.patch_size * spec.patch_size * 3 * vw  # patch embed (no bias)
+            + vw  # class embedding
+            + spec.num_image_tokens * vw  # pos embed
+            + 2 * vw + 2 * vw  # ln_pre + ln_post
+            + tower(vw, spec.vision_layers)
+            + vw * spec.embed_dim  # projection
+        )
     text = (
         spec.vocab_size * tw
         + spec.context_length * tw

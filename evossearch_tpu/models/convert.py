@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.constants import CLIP_MODEL_SPECS, CLIPModelSpec
+from ..core.constants import CLIP_MODEL_SPECS, CLIPModelSpec, CLIPResNetSpec
 
 
 def _np(t) -> np.ndarray:
@@ -166,8 +166,121 @@ def _openai_tower(sd: dict, prefix: str, layers: int) -> dict:
     }
 
 
+# ------------------------------------------------- OpenAI ResNet variants
+
+
+def _bn_params(sd: dict, prefix: str) -> dict:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]),
+        "bias": _np(sd[f"{prefix}.bias"]),
+        "mean": _np(sd[f"{prefix}.running_mean"]),
+        "var": _np(sd[f"{prefix}.running_var"]),
+    }
+
+
+def _conv_params(sd: dict, key: str) -> dict:
+    """torch (out, in, kh, kw) -> our NHWC kernel (kh, kw, in, out)."""
+    return {"kernel": _np(sd[key]).transpose(2, 3, 1, 0)}
+
+
+def _resnet_block(sd: dict, prefix: str) -> dict:
+    p = {
+        "conv1": _conv_params(sd, f"{prefix}.conv1.weight"),
+        "bn1": _bn_params(sd, f"{prefix}.bn1"),
+        "conv2": _conv_params(sd, f"{prefix}.conv2.weight"),
+        "bn2": _bn_params(sd, f"{prefix}.bn2"),
+        "conv3": _conv_params(sd, f"{prefix}.conv3.weight"),
+        "bn3": _bn_params(sd, f"{prefix}.bn3"),
+    }
+    # OpenAI names the shortcut Sequential's children "-1"/"0"/"1"
+    # (AvgPool2d/Conv2d/BatchNorm2d) — only 0/1 carry tensors.
+    if f"{prefix}.downsample.0.weight" in sd:
+        p["downsample"] = {
+            "conv": _conv_params(sd, f"{prefix}.downsample.0.weight"),
+            "bn": _bn_params(sd, f"{prefix}.downsample.1"),
+        }
+    return p
+
+
+def infer_openai_resnet_spec(sd: dict) -> CLIPResNetSpec:
+    """Infer the RN* variant from OpenAI state_dict tensor shapes (mirrors
+    clip/model.py's build_model counting `visual.layerN` block indices)."""
+    counts = tuple(
+        len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{i}.")})
+        for i in (1, 2, 3, 4)
+    )
+    vision_width = _np(sd["visual.conv3.weight"]).shape[0]  # stem out
+    embed_dim = _np(sd["visual.attnpool.c_proj.weight"]).shape[0]
+    n_tokens = _np(sd["visual.attnpool.positional_embedding"]).shape[0]
+    image_size = int(round((n_tokens - 1) ** 0.5)) * 32
+    text_width = _np(sd["ln_final.weight"]).shape[0]
+    text_layers = len(
+        {k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")}
+    )
+    for spec in CLIP_MODEL_SPECS.values():
+        if (
+            spec.family == "resnet"
+            and spec.vision_layers == counts
+            and spec.vision_width == vision_width
+            and spec.embed_dim == embed_dim
+            and spec.image_size == image_size
+        ):
+            return spec
+    return CLIPResNetSpec(
+        name=f"custom-rn{sum(counts)}", image_size=image_size,
+        vision_width=vision_width, vision_layers=counts,
+        vision_heads=vision_width * 32 // 64,
+        text_width=text_width, text_layers=text_layers,
+        # OpenAI build_model: transformer_width // 64 (>= 8 for every
+        # release); clamp so sub-64-wide custom checkpoints stay valid
+        text_heads=max(text_width // 64, 1),
+        vocab_size=_np(sd["token_embedding.weight"]).shape[0],
+        context_length=_np(sd["positional_embedding"]).shape[0],
+        embed_dim=embed_dim,
+    )
+
+
+def _openai_resnet_visual(sd: dict, spec: CLIPResNetSpec) -> dict:
+    visual = {
+        "stem": {
+            "conv1": _conv_params(sd, "visual.conv1.weight"),
+            "bn1": _bn_params(sd, "visual.bn1"),
+            "conv2": _conv_params(sd, "visual.conv2.weight"),
+            "bn2": _bn_params(sd, "visual.bn2"),
+            "conv3": _conv_params(sd, "visual.conv3.weight"),
+            "bn3": _bn_params(sd, "visual.bn3"),
+        },
+    }
+    for i, n_blocks in enumerate(spec.vision_layers):
+        stage = {"down": _resnet_block(sd, f"visual.layer{i + 1}.0")}
+        if n_blocks > 1:
+            import jax
+
+            rest = [
+                _resnet_block(sd, f"visual.layer{i + 1}.{j}")
+                for j in range(1, n_blocks)
+            ]
+            stage["rest"] = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *rest
+            )
+        visual[f"stage{i + 1}"] = stage
+    ap = "visual.attnpool"
+    visual["attnpool"] = {
+        "pos_embed": _np(sd[f"{ap}.positional_embedding"]),
+        "wq": _np(sd[f"{ap}.q_proj.weight"]).T,
+        "bq": _np(sd[f"{ap}.q_proj.bias"]),
+        "wk": _np(sd[f"{ap}.k_proj.weight"]).T,
+        "bk": _np(sd[f"{ap}.k_proj.bias"]),
+        "wv": _np(sd[f"{ap}.v_proj.weight"]).T,
+        "bv": _np(sd[f"{ap}.v_proj.bias"]),
+        "wc": _np(sd[f"{ap}.c_proj.weight"]).T,
+        "bc": _np(sd[f"{ap}.c_proj.bias"]),
+    }
+    return visual
+
+
 def infer_openai_spec(sd: dict) -> CLIPModelSpec:
-    """Infer the CLIP variant from OpenAI state_dict tensor shapes."""
+    """Infer the CLIP ViT variant from OpenAI state_dict tensor shapes."""
     vision_width = _np(sd["visual.conv1.weight"]).shape[0]
     patch_size = _np(sd["visual.conv1.weight"]).shape[-1]
     vision_layers = len(
@@ -183,7 +296,8 @@ def infer_openai_spec(sd: dict) -> CLIPModelSpec:
     )
     for spec in CLIP_MODEL_SPECS.values():
         if (
-            spec.vision_width == vision_width
+            spec.family == "vit"
+            and spec.vision_width == vision_width
             and spec.patch_size == patch_size
             and spec.vision_layers == vision_layers
             and spec.embed_dim == embed_dim
@@ -204,8 +318,31 @@ def infer_openai_spec(sd: dict) -> CLIPModelSpec:
     )
 
 
+def _openai_text(sd: dict, text_layers: int) -> dict:
+    return {
+        "token_embed": _np(sd["token_embedding.weight"]),
+        "pos_embed": _np(sd["positional_embedding"]),
+        "blocks": _openai_tower(sd, "transformer", text_layers),
+        "ln_final": _ln(sd, "ln_final"),
+        "proj": _np(sd["text_projection"]),  # stored (width, embed) already
+    }
+
+
 def from_openai_state_dict(sd: dict) -> tuple[dict, CLIPModelSpec]:
-    """OpenAI CLIP release state_dict -> (param pytree, inferred spec)."""
+    """OpenAI CLIP release state_dict -> (param pytree, inferred spec).
+
+    Detects the image-tower family the way clip/model.py's build_model
+    does: ViT checkpoints carry `visual.proj`, ResNet ones carry
+    `visual.attnpool.*`.
+    """
+    if "visual.attnpool.positional_embedding" in sd:
+        spec = infer_openai_resnet_spec(sd)
+        params = {
+            "visual": _openai_resnet_visual(sd, spec),
+            "text": _openai_text(sd, spec.text_layers),
+            "logit_scale": _np(sd["logit_scale"]).reshape(()),
+        }
+        return params, spec
     spec = infer_openai_spec(sd)
     params = {
         "visual": {
@@ -217,13 +354,7 @@ def from_openai_state_dict(sd: dict) -> tuple[dict, CLIPModelSpec]:
             "ln_post": _ln(sd, "visual.ln_post"),
             "proj": _np(sd["visual.proj"]),  # stored (width, embed) already
         },
-        "text": {
-            "token_embed": _np(sd["token_embedding.weight"]),
-            "pos_embed": _np(sd["positional_embedding"]),
-            "blocks": _openai_tower(sd, "transformer", spec.text_layers),
-            "ln_final": _ln(sd, "ln_final"),
-            "proj": _np(sd["text_projection"]),  # stored (width, embed) already
-        },
+        "text": _openai_text(sd, spec.text_layers),
         "logit_scale": _np(sd["logit_scale"]).reshape(()),
     }
     return params, spec

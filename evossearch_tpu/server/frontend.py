@@ -150,6 +150,7 @@ PAGE = r"""<!DOCTYPE html>
   <div class="field"><label>CLIP model</label>
     <select id="s_model">
       <option>ViT-B/32</option><option>ViT-B/16</option><option>ViT-L/14</option><option>ViT-L/14@336px</option>
+      <option>RN50</option><option>RN101</option><option>RN50x4</option><option>RN50x16</option><option>RN50x64</option>
     </select></div>
   <div class="field"><label>Min results</label><input type="text" id="s_min"></div>
   <div class="field"><label>Max results</label><input type="text" id="s_max"></div>

@@ -93,6 +93,16 @@ def make_train_step(spec: CLIPModelSpec, optimizer, compute_dtype=jnp.float32,
     jit this under a mesh with sharded inputs; the function itself is
     parallelism-agnostic.
     """
+    if getattr(spec, "family", "vit") == "resnet":
+        # The RN* towers run inference-mode BatchNorm (models/resnet.py):
+        # training them would require batch-stats updates plus masking the
+        # running mean/var out of the optimizer — and the loss would
+        # happily push gradients into those statistics. The reference has
+        # no training at all (SURVEY §2), so fine-tuning stays ViT-only.
+        raise NotImplementedError(
+            "contrastive training supports the ViT family only; the "
+            f"ResNet tower ({spec.name}) uses frozen inference BatchNorm"
+        )
 
     def train_step(params, opt_state, images, tokens):
         loss, grads = jax.value_and_grad(clip_loss)(
