@@ -156,6 +156,36 @@ def _vit_fwd_flops(spec) -> float:
     return spec.vision_layers * per_layer + patch + proj
 
 
+def _resnet_fwd_flops(spec) -> float:
+    """Analytic forward FLOPs/image for a modified-ResNet image tower
+    (convs + attnpool projections) — same 2*MAC convention as
+    _vit_fwd_flops."""
+    s = spec.image_size // 2  # stem convs run at half resolution
+    w = spec.vision_width
+    f = (2 * s * s * 9 * 3 * (w // 2)
+         + 2 * s * s * 9 * (w // 2) * (w // 2)
+         + 2 * s * s * 9 * (w // 2) * w)
+    s //= 2  # stem avg pool
+    cin = w
+    for i, n_blocks in enumerate(spec.vision_layers):
+        planes = w * (2 ** i)
+        stride = 1 if i == 0 else 2
+        s_out = s // stride
+        for b in range(n_blocks):
+            c_in = cin if b == 0 else planes * 4
+            sp_in = s if b == 0 else s_out
+            f += 2 * sp_in * sp_in * c_in * planes  # conv1 1x1
+            f += 2 * sp_in * sp_in * 9 * planes * planes  # conv2 3x3
+            f += 2 * s_out * s_out * planes * planes * 4  # conv3 1x1
+            if b == 0:
+                f += 2 * s_out * s_out * c_in * planes * 4  # shortcut conv
+        cin, s = planes * 4, s_out
+    C, T = spec.attn_dim, spec.num_image_tokens
+    f += 2 * C * C + 2 * 2 * T * C * C  # q (1 token) + k/v projections
+    f += 2 * C * spec.embed_dim  # c_proj
+    return f
+
+
 def _bench_encode_spec(name: str, batch: int, reps: int, **enc_kw) -> None:
     """Shared tower-throughput harness: fetch-last sustained img/s + MFU
     vs the analytic matmul FLOPs (see bench_encode for the fetch-last
@@ -169,7 +199,8 @@ def _bench_encode_spec(name: str, batch: int, reps: int, **enc_kw) -> None:
     spec = CLIP_MODEL_SPECS[name]
     params = init_params(jax.random.key(0), spec)
     images = jax.random.normal(
-        jax.random.key(5), (batch, 224, 224, 3), dtype=jnp.bfloat16
+        jax.random.key(5), (batch, spec.image_size, spec.image_size, 3),
+        dtype=jnp.bfloat16,
     )
 
     @jax.jit
@@ -182,7 +213,10 @@ def _bench_encode_spec(name: str, batch: int, reps: int, **enc_kw) -> None:
     np.asarray(outs[-1])  # fetch-last: sustained throughput (see bench_encode)
     dt = time.perf_counter() - t0
     ips = reps * batch / dt
-    mfu = ips * _vit_fwd_flops(spec) / V5E_PEAK_BF16_FLOPS
+    flops_fn = (
+        _resnet_fwd_flops if spec.family == "resnet" else _vit_fwd_flops
+    )
+    mfu = ips * flops_fn(spec) / V5E_PEAK_BF16_FLOPS
     summary(f"encode {name} bf16: {ips:.0f} images/sec/chip "
             f"(batch {batch}, ~{mfu:.0%} MFU vs "
             f"{V5E_PEAK_BF16_FLOPS / 1e12:.0f} TFLOP/s bf16 peak)")
@@ -199,6 +233,12 @@ def bench_encode_l14() -> None:
     """Extra: ViT-L/14 encode throughput (BASELINE config 3's encoder).
     batch 64 = measured optimum on v5e (128: -6%, 256: -11%)."""
     _bench_encode_spec("ViT-L/14", batch=64, reps=8)
+
+
+def bench_encode_rn50() -> None:
+    """Extra: RN50 encode throughput — the modified-ResNet family
+    (round 4) running its conv stack + attention pool on the MXU."""
+    _bench_encode_spec("RN50", batch=128, reps=8)
 
 
 def bench_encode() -> None:
@@ -1014,7 +1054,8 @@ def main() -> None:
                "bench_ivf_10m": 600}
     extras = (bench_sq8, bench_ivf, bench_index, bench_serve, bench_train,
               bench_encode, bench_encode_b16, bench_encode_l14,
-              bench_device_pipeline, bench_ivf_10m, bench_search_10m)
+              bench_encode_rn50, bench_device_pipeline, bench_ivf_10m,
+              bench_search_10m)
     for i, extra in enumerate(extras):
         elapsed = time.perf_counter() - t_start
         if elapsed > EXTRAS_WALL_BUDGET_S:

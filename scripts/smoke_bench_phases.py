@@ -68,10 +68,17 @@ def smoke_search() -> None:
     bench.bench_search()
 
 
+def smoke_encode_rn50() -> None:
+    # full RN50 at batch 1 x 1 rep: ~seconds on CPU, exercises the real
+    # spec + conv stack + flops accounting end to end
+    bench._bench_encode_spec("RN50", batch=1, reps=1)
+
+
 SMOKES = {
     "bench_serve": smoke_serve,
     "bench_train": smoke_train,
     "bench_search": smoke_search,
+    "bench_encode_rn50": smoke_encode_rn50,
 }
 
 
