@@ -165,6 +165,11 @@ def main(argv: list[str] | None = None) -> int:
                   f"{', '.join(CLIP_MODEL_SPECS)}", file=sys.stderr)
             return 1
         spec = CLIP_MODEL_SPECS[name]
+        if spec.family == "resnet":
+            print(f"{name} is a ResNet-family model; contrastive training "
+                  "supports the ViT family only (frozen inference BatchNorm "
+                  "— see train/contrastive.py)", file=sys.stderr)
+            return 1
         params = None
         if args.init_from:
             params, loaded_spec = load_params(args.init_from)
