@@ -391,6 +391,42 @@ def test_engine_end_to_end_with_resnet(tmp_path, monkeypatch, visual_params):
         eng.close()
 
 
+def test_deep_stage_parity_rn101_depth():
+    """RN101's stage depths (3,4,23,3) at tiny width: the 23-block scanned
+    tail must match a 23-deep torch Sequential — pins the per-stage
+    param-stacking order at real release depths."""
+    from evossearch_tpu.models.convert import _openai_resnet_visual
+    from evossearch_tpu.models.resnet import encode_image_resnet
+
+    deep = CLIPResNetSpec(
+        name="tiny-rn101", image_size=64,
+        vision_width=16, vision_layers=(3, 4, 23, 3), vision_heads=8,
+        text_width=48, text_layers=2, text_heads=4,
+        vocab_size=512, context_length=16, embed_dim=32,
+    )
+    torch.manual_seed(11)
+    m = _ModifiedResNet(
+        layers=deep.vision_layers, output_dim=deep.embed_dim,
+        heads=deep.vision_heads, input_resolution=deep.image_size,
+        width=deep.vision_width,
+    ).eval()
+    gen = torch.Generator().manual_seed(12)
+    for name, buf in m.named_buffers():
+        if name.endswith("running_mean"):
+            buf.copy_(torch.randn(buf.shape, generator=gen) * 0.2)
+        elif name.endswith("running_var"):
+            buf.copy_(torch.rand(buf.shape, generator=gen) + 0.5)
+    sd = {f"visual.{k}": v for k, v in m.state_dict().items()}
+    params = {"visual": _openai_resnet_visual(sd, deep)}
+    rng = np.random.default_rng(13)
+    images = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_emb = m(torch.from_numpy(images.transpose(0, 3, 1, 2))).numpy()
+    t_emb = t_emb / np.linalg.norm(t_emb, axis=-1, keepdims=True)
+    j_emb = np.asarray(encode_image_resnet(params, images, deep))
+    np.testing.assert_allclose(j_emb, t_emb, atol=5e-5, rtol=1e-4)
+
+
 def test_train_step_rejects_resnet():
     from evossearch_tpu.train.contrastive import make_optimizer, make_train_step
 
