@@ -22,6 +22,10 @@ measured no overlap to win), so batch FILL is the only serving
 throughput lever. The settle breaks after ~3.5 ms without growth and is
 capped at the last dispatch's own duration (waiting can at most double
 a round, and only when it keeps collecting), floored by ``window_ms``.
+It is skipped entirely when the previous round was a LONE query that
+left no backlog — a solo sequential client (the reference's one-user
+workload) would otherwise pay the full no-growth grace on every
+request with nothing to collect.
 ``window_ms`` remains the enable/disable knob (engine builds no batcher
 at 0); idle-worker dispatches never wait. Searches against different
 folders are grouped per folder, preserving result equivalence with the
@@ -165,6 +169,13 @@ class MicroBatcher:
         # cap (below). A solo query on an idle worker never waits.
         self._window_s = window_ms * 1e-3
         self._last_dispatch_s = 0.0  # duration of the last _run round
+        # True when the last round was a LONE query that left no backlog —
+        # the signature of a solo sequential client (the reference's
+        # actual workload: one user, oldapp.py:2005). Settling for that
+        # client adds the full no-growth grace (~8 ms) to every request
+        # and can never fill a batch; any sign of concurrency (batch > 1,
+        # or a query that arrived mid-round) re-enables the settle.
+        self._solo_round = False
         self._max_batch = max_batch
         self._lock = threading.Lock()
         self._queue: list[_Pending] = []
@@ -235,6 +246,7 @@ class MicroBatcher:
                 # zero extra latency, the natural-batching contract above.
                 if (
                     qlen < self._max_batch
+                    and not self._solo_round
                     and time.monotonic() - last_round_end < 0.05
                 ):
                     cap = max(self._window_s, self._last_dispatch_s)
@@ -272,6 +284,9 @@ class MicroBatcher:
                 self._run(folder, batch)
                 last_round_end = time.monotonic()
                 self._last_dispatch_s = last_round_end - t0
+                with self._lock:
+                    backlog = bool(self._queue)
+                self._solo_round = len(batch) == 1 and not backlog
         # items that raced a close(): fail them, don't strand the callers
         self._fail_pending("micro-batcher closed")
 

@@ -329,3 +329,46 @@ def test_builder_uses_deferred_fetch(engine, folder, monkeypatch):
     assert fetch_args and all(f is True for f in fetch_args)
     emb_sync = IndexReader.open(str(folder)).embeddings()
     np.testing.assert_array_equal(emb_deferred, emb_sync)
+
+
+def test_results_json_splice_parses_identically():
+    """_results_json splices cached b64 thumbnails into the body without
+    re-escaping (a ~2.7 ms/request json.dumps pass on this 1-core host);
+    the output must parse to exactly what jsonify would have produced,
+    including paths that DO need JSON escaping."""
+    import base64
+    import copy
+    import json
+
+    from evossearch_tpu.server.app import _results_json
+
+    thumb = base64.b64encode(bytes(range(256)) * 200).decode()
+    assert "+" in thumb and "/" in thumb and thumb.endswith("=")
+    results = [
+        {
+            "path": 'C:\\photos\\"quoted" — ünïcode\n.jpg',
+            "filename": '"quoted" — ünïcode\n.jpg',
+            "metadata": {"mtime": 1.5, "size": 42},
+            "similarity": 0.987654,
+            "thumbnail": thumb,
+        },
+        {
+            "path": "/plain/path.png",
+            "filename": "path.png",
+            "metadata": {},
+            "similarity": -0.25,
+            "thumbnail": thumb[:-2],  # unpadded variant
+        },
+    ]
+    expected = {"results": copy.deepcopy(results)}
+    resp = _results_json(results)
+    assert resp.content_type == "application/json"
+    assert json.loads(resp.body.decode("utf-8")) == expected
+
+
+def test_results_json_empty_list():
+    import json
+
+    from evossearch_tpu.server.app import _results_json
+
+    assert json.loads(_results_json([]).body) == {"results": []}

@@ -109,6 +109,44 @@ def test_steady_load_settle_fills_batches():
         mb.close()
 
 
+def test_solo_sequential_client_skips_settle(monkeypatch):
+    """A lone closed-loop client (the reference's one-user workload) must
+    never pay the steady-load settle: each round is a solo query leaving
+    no backlog, so the worker dispatches the next one immediately instead
+    of sleeping through the ~8 ms no-growth grace per request."""
+    import time as time_mod
+
+    real_sleep = time_mod.sleep
+    settle_sleeps = []
+
+    def spy_sleep(dt):
+        # only the batcher worker's settle loop calls time.sleep here
+        if threading.current_thread().name == "query-microbatcher":
+            settle_sleeps.append(dt)
+        real_sleep(dt)
+
+    monkeypatch.setattr(time_mod, "sleep", spy_sleep)
+    rng = np.random.default_rng(3)
+    corpus = rng.standard_normal((64, 16)).astype(np.float32)
+
+    def execute(folder, queries, k):
+        scores = queries @ corpus.T
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(scores, order, axis=1), order
+
+    mb = MicroBatcher(execute, window_ms=2.0)
+    try:
+        q = rng.standard_normal((6, 16)).astype(np.float32)
+        for i in range(6):  # back-to-back: well inside the 50 ms window
+            s, idx = mb.submit("/f", q[i], 5)
+            exp = np.argsort(-(q[i] @ corpus.T), kind="stable")[:5]
+            assert (idx == exp).all()
+        assert settle_sleeps == [], settle_sleeps
+        assert mb.dispatches == 6  # every solo query went out immediately
+    finally:
+        mb.close()
+
+
 def test_batcher_propagates_errors():
     def execute(folder, queries, k):
         raise LookupError("Folder not indexed")
