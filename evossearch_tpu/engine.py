@@ -515,6 +515,34 @@ class SearchEngine:
             )
         return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
 
+    def encode_image_device(self, img):
+        """One image -> (1, embed_dim) DEVICE row — the image twin of
+        :meth:`_encode_text_device`. The fused preprocess+encode dispatch
+        is issued but NOT fetched (the encoders emit float32, so the row
+        is bit-identical to the fetched path); the follow-on search
+        dispatch chains on device, so the whole upload->encode->search
+        chain pays ONE blocking round trip (the packed result fetch)
+        instead of two — on this rig's ~27 ms-floor relay that halves
+        /search_by_image latency. Reference counterpart:
+        oldapp.py:2092-2112 (PIL -> encode_image -> index.search, each a
+        separate device round trip)."""
+        from .preprocess import prepare_batch
+
+        if not isinstance(img, np.ndarray):
+            if img.mode != "RGB":
+                img = img.convert("RGB")
+            img = np.asarray(img, dtype=np.uint8)
+        with self.timers.stage("preprocess"):
+            canvases, a_h_u, a_w_u, size_idx = prepare_batch(
+                [img], target=self.spec.image_size
+            )
+        pend = self.encode_prepared(
+            canvases, a_h_u, a_w_u, size_idx, fetch=False
+        )
+        self.counters.add("images_encoded", 1)  # resolve() is never called
+        # async row slice: a dispatch, but not a blocking fetch
+        return pend._buckets[0][0:1]
+
     def encode_text(self, text: str) -> np.ndarray:
         """Query text -> (embed_dim,) L2-normalized float32 embedding.
 
@@ -1713,7 +1741,7 @@ class SearchEngine:
         return scores, idx, reader
 
     def search_image(self, folder: str, pil_image, k: int):
-        emb = self.encode_images([pil_image])[0]
+        emb = self.encode_image_device(pil_image)
         return self.search_embedding(folder, emb, k)
 
     def warmup(self) -> None:

@@ -347,7 +347,9 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
                     uploaded = Image.open(file.stream)
                     if uploaded.mode != "RGB":
                         uploaded = uploaded.convert("RGB")
-                    query_emb = engine.encode_images([uploaded])[0]
+                    # device row: the search dispatch chains on device,
+                    # one blocking fetch for the whole encode+search chain
+                    query_emb = engine.encode_image_device(uploaded)
                 else:
                     if not os.path.exists(image_path):
                         return jsonify(
@@ -360,7 +362,7 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
                     if query_emb is None:
                         try:
                             img = Image.open(image_path)
-                            query_emb = engine.encode_images([img])[0]
+                            query_emb = engine.encode_image_device(img)
                         except Exception as path_error:
                             return jsonify(
                                 {"error": "Error processing image from path: "

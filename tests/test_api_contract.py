@@ -371,7 +371,7 @@ def test_find_similar_short_circuits_to_stored_embedding(
     def boom(images):  # pragma: no cover - failure path
         raise AssertionError("encode dispatched for an indexed file")
 
-    monkeypatch.setattr(engine, "encode_images", boom)
+    monkeypatch.setattr(engine, "encode_image_device", boom)
     r = client.post(
         "/search_by_image",
         data={"folder": str(fixture_folder), "image_path": target, "limit": "3"},
@@ -385,13 +385,13 @@ def test_find_similar_short_circuits_to_stored_embedding(
     import os
     os.utime(target, (1, 1))
     called = {}
-    real = type(engine).encode_images
+    real = type(engine).encode_image_device
 
-    def spy(imgs):
+    def spy(img):
         called["yes"] = True
-        return real(engine, imgs)
+        return real(engine, img)
 
-    monkeypatch.setattr(engine, "encode_images", spy)
+    monkeypatch.setattr(engine, "encode_image_device", spy)
     r = client.post(
         "/search_by_image",
         data={"folder": str(fixture_folder), "image_path": target, "limit": "3"},

@@ -372,3 +372,26 @@ def test_results_json_empty_list():
     from evossearch_tpu.server.app import _results_json
 
     assert json.loads(_results_json([]).body) == {"results": []}
+
+
+def test_image_search_device_row_equals_fetched_path(engine, folder):
+    """search_image rides a device-resident (1, d) embedding row — the
+    image twin of the text path's one-blocking-fetch chain. The row must
+    be a 2-D non-numpy device array, bit-identical to the fetched
+    encode_images output, and the search results must match the classic
+    fetch-then-search path exactly."""
+    engine.index_folder(str(folder))
+    img = Image.open(sorted(folder.glob("*.jpg"))[1])
+
+    row = engine.encode_image_device(img)
+    assert not isinstance(row, np.ndarray)
+    assert row.ndim == 2 and row.shape[0] == 1
+    fetched = engine.encode_images([Image.open(sorted(folder.glob("*.jpg"))[1])])
+    np.testing.assert_array_equal(np.asarray(row, np.float32), fetched[:1])
+
+    s1, i1, _ = engine.search_image(
+        str(folder), Image.open(sorted(folder.glob("*.jpg"))[1]), k=3
+    )
+    s2, i2, _ = engine.search_embedding(str(folder), fetched[0], k=3)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
