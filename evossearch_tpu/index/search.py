@@ -27,6 +27,19 @@ import numpy as np
 # followed by a merge over G*k candidates is exact and far faster on TPU.
 _BLOCK = 4096
 
+# Observability: device round-trip counts for the packed fast paths.
+# Each packed search is designed to cost exactly ONE kernel dispatch plus
+# ONE device->host fetch; uncertified rows add a fallback dispatch. A
+# latency harness (bench.py) reads deltas of this dict to attribute
+# wall-time spread to relay noise vs extra round trips. Diagnostic only:
+# unlocked increments, so counts are approximate under concurrent serving
+# (the bench phases that consume them are single-threaded).
+DISPATCH_COUNTS = {"kernel": 0, "fetch": 0, "fallback": 0}
+
+
+def dispatch_counts_snapshot() -> dict:
+    return dict(DISPATCH_COUNTS)
+
 # Above this corpus size the certified-approx fast path takes over: TPU's
 # native ApproxTopK (lax.approx_max_k) is ~70x faster than blockwise exact
 # selection at 10M rows, and a cheap certification makes it exact (below).
@@ -253,6 +266,7 @@ def _unpack_with_fallback(packed: np.ndarray, emb, queries_d, k: int):
     i = packed[:, k : 2 * k].astype(np.int64)
     ok = packed[:, -1] > 0
     if not ok.all():
+        DISPATCH_COUNTS["fallback"] += 1
         fail = np.flatnonzero(~ok)
         sub, n = gather_query_rows(queries_d, fail)
         slow_s, slow_i = _topk_batch(emb, sub, k)
@@ -267,6 +281,8 @@ def _searched_with_fallback(emb, queries: np.ndarray, k: int):
 
     emb = jnp.asarray(emb)
     queries_d = jnp.asarray(queries, dtype=jnp.float32)  # no-op if on device
+    DISPATCH_COUNTS["kernel"] += 1
+    DISPATCH_COUNTS["fetch"] += 1
     packed = np.asarray(_fast_topk_batch_packed(emb, queries_d, k))
     return _unpack_with_fallback(packed, emb, queries_d, k)
 
@@ -514,12 +530,16 @@ def pallas_search_batch(emb, queries: np.ndarray, k: int):
         # no [0:128] slice here: slicing a device array is an eager
         # dispatch of its own, and the serving single-query path counts
         # on exactly one dispatch + one packed fetch
+        DISPATCH_COUNTS["kernel"] += 1
+        DISPATCH_COUNTS["fetch"] += 1
         packed = np.asarray(
             _pallas_topk_packed(emb, queries_d, k, interpret, tree)
         )
         return _unpack_with_fallback(packed, emb, queries_d, k)
     outs = []
     for start in range(0, queries_d.shape[0], 128):
+        DISPATCH_COUNTS["kernel"] += 1
+        DISPATCH_COUNTS["fetch"] += 1
         outs.append(
             np.asarray(
                 _pallas_topk_packed(
