@@ -39,22 +39,61 @@ def log(msg: str) -> None:
 # Compact evidence lines, re-printed after every phase: the driver records
 # only the LAST ~2000 chars of output (BENCH_r0N.json "tail"), so a long
 # run must keep ALL key numbers inside that trailing window — round 3 lost
-# the SQ8/IVF evidence (and the headline) to exactly this (VERDICT r3 #1/#3).
-_SUMMARY: list[str] = []
+# the SQ8/IVF evidence (and the headline) to exactly this (VERDICT r3 #1/#3),
+# and round 4 overflowed the window by re-printing every line in insertion
+# order (the FIRST lines — the headline metrics — scrolled off; VERDICT r4
+# #1/#2). Fix: each line carries a priority; the re-print puts the most
+# important lines LAST (nearest the captured end), trims least-important
+# lines first when the block would overflow the window, and ends with the
+# headline JSON as the absolute final output line (the driver demonstrably
+# parses the trailing capture: r01/r02 parsed with the JSON last, r04
+# printed it early and got parsed=null).
+_SUMMARY: list[tuple[int, str]] = []
+
+# Re-emitted (stderr) at the end of every summary block once bench_search
+# has run, so the run's LAST line is always the parseable headline. stdout
+# still carries exactly ONE JSON line (the early print in main()).
+_HEADLINE_JSON: str | None = None
+
+# Chars of summary block the driver's ~2000-char tail can safely hold,
+# leaving headroom for the block markers and the trailing headline JSON.
+SUMMARY_TAIL_BUDGET = 1750
 
 
-def summary(msg: str) -> None:
+def summary(msg: str, prio: int = 1) -> None:
+    """Record an evidence line. prio 0 = must survive in the driver's
+    trailing capture (BASELINE-target numbers); 1 = important; 2 = context
+    that may scroll off on long runs."""
     log(msg)
-    _SUMMARY.append(msg)
+    _SUMMARY.append((prio, msg))
 
 
 def print_summary() -> None:
-    if not _SUMMARY:
+    if not _SUMMARY and _HEADLINE_JSON is None:
         return
-    log("==== summary so far ====")
-    for m in _SUMMARY:
-        log("| " + m)
+    # Print order: prio 2 lines first, prio 0 last (each in insertion
+    # order), so the key numbers sit nearest the end of the tail window.
+    order = sorted(range(len(_SUMMARY)), key=lambda j: (-_SUMMARY[j][0], j))
+    lines = ["| " + _SUMMARY[j][1] for j in order]
+    budget = SUMMARY_TAIL_BUDGET - (
+        len(_HEADLINE_JSON) + 1 if _HEADLINE_JSON else 0
+    )
+    kept: list[str] = []
+    used = 0
+    for line in reversed(lines):  # fill from the most important end
+        if used + len(line) + 1 > budget:
+            break
+        kept.append(line)
+        used += len(line) + 1
+    dropped = len(lines) - len(kept)
+    log("==== summary (key lines last"
+        + (f"; {dropped} lower-prio lines elided" if dropped else "")
+        + ") ====")
+    for line in reversed(kept):
+        log(line)
     log("========================")
+    if _HEADLINE_JSON is not None:
+        log(_HEADLINE_JSON)
 
 
 def _sync(tree) -> None:
@@ -64,20 +103,26 @@ def _sync(tree) -> None:
         np.asarray(leaf)
 
 
-def _p50(fn, iters=ITERS) -> float:
+def _times(fn, iters=ITERS) -> np.ndarray:
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         _sync(fn())
         times.append((time.perf_counter() - t0) * 1e3)
-    return float(np.percentile(times, 50))
+    return np.asarray(times)
+
+
+def _p50(fn, iters=ITERS) -> float:
+    return float(np.percentile(_times(fn, iters), 50))
 
 
 def bench_search() -> dict:
     import jax
     import jax.numpy as jnp
 
-    from evossearch_tpu.index.search import best_exact_search_batch
+    from evossearch_tpu.index.search import (
+        best_exact_search_batch, dispatch_counts_snapshot,
+    )
 
     log(f"devices: {jax.devices()}")
     emb = jax.random.normal(jax.random.key(0), (N_VECTORS, DIM), jnp.float32)
@@ -105,15 +150,32 @@ def bench_search() -> dict:
     # dispatch the serving path issues (scripts/serve_latency.py measures
     # the full engine search_text wall at ~31ms = floor + ~7ms net).
     batch_ms = _p50(lambda: best_exact_search_batch(emb, queries, K)[0])
-    single_ms = _p50(lambda: best_exact_search_batch(emb, q1, K)[0])
+    # Single-query latency with round-trip attribution (VERDICT r4 #3):
+    # the packed path counts its device dispatches, so a wall-time spread
+    # across iterations is provably relay noise iff the counts show
+    # exactly one kernel + one packed fetch per query and zero fallbacks.
+    before = dispatch_counts_snapshot()
+    st = _times(lambda: best_exact_search_batch(emb, q1, K)[0])
+    d = dispatch_counts_snapshot()
+    d = {key: d[key] - before[key] for key in d}
+    single_ms = float(np.percentile(st, 50))
+    if d["kernel"] == len(st) and d["fetch"] == len(st) and not d["fallback"]:
+        attr = "1 kernel + 1 packed fetch per query, so spread = relay noise"
+    elif not any(d.values()):
+        # small-corpus / CPU routes bypass the packed counters (smoke runs)
+        attr = "uninstrumented route (small-corpus XLA path)"
+    else:
+        attr = (f"EXTRA round trips: {d['kernel']}k/{d['fetch']}f/"
+                f"{d['fallback']}fb over {len(st)} queries")
     per_query = batch_ms / QUERY_BATCH
 
     summary(f"search 1M f32 batched {QUERY_BATCH}, one dispatch: total "
-            f"p50={batch_ms:.2f}ms -> {per_query:.3f} ms/query (k={K})")
+            f"p50={batch_ms:.2f}ms -> {per_query:.3f} ms/query (k={K})",
+            prio=0)
     summary(f"single query net of RPC floor = "
-            f"{max(single_ms - floor_ms, 0.0):.2f} ms "
-            f"(wall p50={single_ms:.2f}ms, floor p50={floor_ms:.2f}ms; "
-            f"one dispatch + one packed fetch) [target < 10]")
+            f"{max(single_ms - floor_ms, 0.0):.2f} ms (wall p50="
+            f"{single_ms:.2f} min={st.min():.2f} max={st.max():.2f}, "
+            f"floor={floor_ms:.2f}; {attr}) [target < 10]", prio=0)
     return {"per_query_ms": per_query}
 
 
@@ -132,12 +194,13 @@ def bench_search_10m() -> None:
     best_exact_search_batch(emb, queries, K)  # compile
     batch_ms = _p50(lambda: best_exact_search_batch(emb, queries, K)[0], iters=8)
     summary(f"10M bf16 batched {QUERY_BATCH}: total p50={batch_ms:.1f}ms "
-            f"-> {batch_ms / QUERY_BATCH:.3f} ms/query")
+            f"-> {batch_ms / QUERY_BATCH:.3f} ms/query", prio=1)
     emb_1m = emb[:N_VECTORS]
     best_exact_search_batch(emb_1m, queries, K)  # compile
     batch_ms = _p50(lambda: best_exact_search_batch(emb_1m, queries, K)[0], iters=8)
     summary(f"1M bf16 (default store dtype) batched {QUERY_BATCH}: "
-            f"total p50={batch_ms:.1f}ms -> {batch_ms / QUERY_BATCH:.3f} ms/query")
+            f"total p50={batch_ms:.1f}ms -> {batch_ms / QUERY_BATCH:.3f} "
+            f"ms/query", prio=1)
 
 
 V5E_PEAK_BF16_FLOPS = 197e12  # one v5e chip, bf16 MXU peak
@@ -186,7 +249,9 @@ def _resnet_fwd_flops(spec) -> float:
     return f
 
 
-def _bench_encode_spec(name: str, batch: int, reps: int, **enc_kw) -> None:
+def _bench_encode_spec(
+    name: str, batch: int, reps: int, prio: int = 2, **enc_kw
+) -> None:
     """Shared tower-throughput harness: fetch-last sustained img/s + MFU
     vs the analytic matmul FLOPs (see bench_encode for the fetch-last
     methodology)."""
@@ -219,7 +284,8 @@ def _bench_encode_spec(name: str, batch: int, reps: int, **enc_kw) -> None:
     mfu = ips * flops_fn(spec) / V5E_PEAK_BF16_FLOPS
     summary(f"encode {name} bf16: {ips:.0f} images/sec/chip "
             f"(batch {batch}, ~{mfu:.0%} MFU vs "
-            f"{V5E_PEAK_BF16_FLOPS / 1e12:.0f} TFLOP/s bf16 peak)")
+            f"{V5E_PEAK_BF16_FLOPS / 1e12:.0f} TFLOP/s bf16 peak)",
+            prio=prio)
 
 
 def bench_encode_b16() -> None:
@@ -271,7 +337,8 @@ def bench_encode() -> None:
     np.asarray(outs[-1])
     dt = time.perf_counter() - t0
     summary(f"encode ViT-B/32 bf16: {reps * batch / dt:.0f} images/sec/chip "
-            f"(batch {batch}, {reps} reps, seq_merge=2) [target >= 1000]")
+            f"(batch {batch}, {reps} reps, seq_merge=2) [target >= 1000]",
+            prio=1)
 
 
 class _PhaseTimeout(Exception):
@@ -364,10 +431,55 @@ def bench_index() -> None:
             eng.index_folder(warm)
         finally:
             shutil.rmtree(warm, ignore_errors=True)
+        # Upload-ceiling probe, run BEFORE and AFTER the e2e job (VERDICT
+        # r4 #4: a single probe on this relay once produced a "bound" the
+        # e2e run beat by 3.7x — bracketing + in-run byte metering makes
+        # the bound claim falsifiable). Ships the EXACT windowed planar
+        # canvases the pipeline ships, STREAMED the way the pipeline
+        # streams them: all batches queued asynchronously, ONE tiny
+        # on-device reduce synced at the end (block_until_ready is a
+        # no-op under this relay; per-batch syncing would bill ~2 RPC
+        # floors per batch the real pipeline never pays).
+        import jax.numpy as jnp
+
+        from evossearch_tpu.preprocess import prepare_batch_planar
+        from evossearch_tpu.preprocess.io import load_batch_planar
+
+        jpegs = sorted(
+            str(p) for p in __import__("pathlib").Path(tmp).glob("*.jpg")
+        )
+        short = cfg.DECODE_SHORT_SIDE or eng.spec.image_size
+        ents = load_batch_planar(
+            jpegs[: eng._index_batch], min_short_side=short, fast=True
+        )
+        planes = [e for e in ents if isinstance(e, tuple)]
+        yc, cc, *_rest = prepare_batch_planar(
+            planes, target=eng.spec.image_size
+        )
+
+        def probe_upload(reps: int = 6) -> tuple[float, float]:
+            """(images/s, MB/s) of streaming canvas uploads right now."""
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(reps):
+                yd, cd = jax.device_put(yc), jax.device_put(cc)
+                part = jnp.max(yd) + jnp.max(cd)
+                acc = part if acc is None else acc + part
+            np.asarray(acc)  # one sync covering every queued upload
+            dt = time.perf_counter() - t0
+            return (reps * len(planes) / dt,
+                    reps * (yc.nbytes + cc.nbytes) / dt / 1e6)
+
+        pre_ips, pre_mbs = probe_upload()
         base_snap = eng.timers.snapshot()  # exclude the warm run's stages
+        shipped0 = eng.counters.snapshot().get("upload_canvas_bytes", 0)
         t0 = time.perf_counter()
         count = eng.index_folder(tmp)
         wall = time.perf_counter() - t0
+        shipped = (
+            eng.counters.snapshot().get("upload_canvas_bytes", 0) - shipped0
+        )
+        post_ips, post_mbs = probe_upload()
         snap = eng.timers.snapshot()
         split = {
             name: round(
@@ -388,81 +500,51 @@ def bench_index() -> None:
         # the same corpus at the same DCT-scaled short side the builder
         # uses — makes "e2e is host-decode-bound on this 1-core rig" a
         # measured line, not an inference.
-        from evossearch_tpu.preprocess.io import load_batch_planar
-
-        jpegs = sorted(str(p) for p in __import__("pathlib").Path(tmp).glob("*.jpg"))
-        short = cfg.DECODE_SHORT_SIDE or eng.spec.image_size
         t0 = time.perf_counter()
         n_ok = 0
         for start in range(0, len(jpegs), eng._index_batch):
-            ents = load_batch_planar(
+            dents = load_batch_planar(
                 jpegs[start : start + eng._index_batch],
                 min_short_side=short, fast=True,
             )
-            n_ok += sum(e is not None for e in ents)
+            n_ok += sum(e is not None for e in dents)
         dec_ips = n_ok / (time.perf_counter() - t0)
 
-        # Upload ceiling: ship the EXACT windowed planar canvases the
-        # pipeline ships, STREAMED the way the pipeline streams them —
-        # all batches queued asynchronously, ONE tiny on-device reduce
-        # synced at the end (block_until_ready is a no-op under this
-        # relay; fetching the canvases back would measure the download
-        # direction; and syncing per batch would bill ~2 RPC floors per
-        # batch that the real dispatch-N+1-before-fetch-N pipeline never
-        # pays — an early per-rep version measured e2e at "143% of the
-        # bound" on a slow-relay day for exactly that reason).
-        # e2e is bounded by min(decode, upload) on this rig — decode costs
-        # the 1 host core, upload costs the relay serialization.
-        import jax
-        import jax.numpy as jnp
-
-        from evossearch_tpu.preprocess import prepare_batch_planar
-
-        ents = load_batch_planar(
-            jpegs[: eng._index_batch], min_short_side=short, fast=True
-        )
-        planes = [e for e in ents if isinstance(e, tuple)]
-        yc, cc, *_rest = prepare_batch_planar(
-            planes, target=eng.spec.image_size
-        )
-        up_reps = 6
-        t0 = time.perf_counter()
-        acc = None
-        for _ in range(up_reps):
-            yd, cd = jax.device_put(yc), jax.device_put(cc)
-            part = jnp.max(yd) + jnp.max(cd)
-            acc = part if acc is None else acc + part
-        np.asarray(acc)  # one sync covering every queued upload
-        up_dt = time.perf_counter() - t0
-        up_ips = up_reps * len(planes) / up_dt
-        up_mbs = up_reps * (yc.nbytes + cc.nbytes) / up_dt / 1e6
+        # Rig-bound verdict. e2e is bounded by min(decode, upload) on this
+        # rig — decode costs the 1 host core, upload costs the relay
+        # serialization — but the relay's sustained rate is bimodal across
+        # minutes, so the upload bound is taken as the BEST of the two
+        # bracketing probes, cross-checked against the bytes the engine
+        # actually shipped during the e2e run (a lower bound on the
+        # relay's e2e-time rate, since uploads overlap decode). If e2e
+        # still exceeds the bound beyond the observed +-25% band, that is
+        # a PROBE FAILURE and is printed as one — never "AT the bound".
+        ach_mbs = shipped / wall / 1e6
+        up_ips = max(pre_ips, post_ips)
+        up_mbs = max(pre_mbs, post_mbs)
         bound = min(dec_ips, up_ips)
-        # The relay's sustained rate swings ~+-25% minute to minute
-        # (observed 15-22 MB/s across same-day runs), so when the e2e
-        # run catches a faster relay minute than the ceiling probe it can
-        # "exceed" the bound — say that, never report >100% of a bound.
-        if e2e_ips <= bound:
-            verdict = f"{e2e_ips / bound:.0%} of the rig bound"
+        if e2e_ips <= bound * 1.25:
+            verdict = (f"{e2e_ips / bound:.0%} of min(decode, upload)="
+                       f"{bound:.0f} img/s")
         else:
-            verdict = (f"AT the rig bound (exceeds the separately-probed "
-                       f"ceiling by {e2e_ips / bound - 1:.0%} = relay "
-                       f"run-to-run variance)")
-        summary(f"bench_index: e2e {e2e_ips:.0f} img/s vs decode-only "
-                f"{dec_ips:.0f} img/s + canvas-upload "
-                f"{up_ips:.0f} img/s ({up_mbs:.0f} MB/s relay) -> "
-                f"{verdict}; min(decode, upload)={bound:.0f} "
-                f"(device ceiling = bench_device_pipeline line)")
+            verdict = (f"PROBE INCONSISTENT: e2e beats min(decode, upload)="
+                       f"{bound:.0f} by {e2e_ips / bound - 1:.0%} (> the "
+                       f"+-25% relay band) — the probes missed the "
+                       f"e2e-time relay state ({ach_mbs:.0f} MB/s metered)")
+        summary(f"bench_index: e2e {e2e_ips:.0f} img/s "
+                f"(= {e2e_ips / dec_ips:.0%} of decode-only {dec_ips:.0f}); "
+                f"upload probes pre/post {pre_mbs:.0f}/{post_mbs:.0f} MB/s "
+                f"({pre_ips:.0f}/{post_ips:.0f} img/s), metered in-run "
+                f"{shipped / 1e6:.0f} MB = >={ach_mbs:.0f} MB/s -> "
+                f"{verdict}", prio=0)
 
         # The device ceiling for the encode stage is bench_encode's number
-        # (11k+ img/s from HBM-resident batches). Re-uploading prepared
-        # canvases per rep here would measure this rig's ~11 MB/s relay,
-        # not the pipeline, so the end-to-end number + stage split above
-        # is the whole story: on this 1-core host it is decode/upload
-        # bound; on a production TPU host (N decode cores, PCIe) the
-        # decode threads and double buffering scale the same pipeline to
-        # the host-core budget.
-        log("bench_index: device encode ceiling = bench_encode line above; "
-            "e2e here is host-decode/relay-upload bound by the rig")
+        # (11k+ img/s from HBM-resident batches): on this 1-core host the
+        # e2e job is decode/upload bound; on a production TPU host (N
+        # decode cores, PCIe) the decode threads and double buffering
+        # scale the same pipeline to the host-core budget.
+        log("bench_index: device encode ceiling = bench_encode / "
+            "bench_device_pipeline lines")
     finally:
         if "eng" in locals():
             eng.close()  # even on phase timeout: no batcher-thread leak
@@ -506,7 +588,7 @@ def bench_device_pipeline() -> None:
     dt = time.perf_counter() - t0
     summary(f"device pipeline (fused preprocess+encode, 480x640 uint8 -> "
             f"embedding): {reps * batch / dt:.0f} img/s/chip (batch {batch}) "
-            f"[indexing device ceiling; target >= 1000]")
+            f"[indexing device ceiling; target >= 1000]", prio=1)
     eng.close()  # don't leak batcher threads into later phases
 
 
@@ -556,7 +638,7 @@ def bench_ivf() -> None:
             f"(single-query wall incl ~28ms RPC floor; "
             f"recall-calibrated nprobe={ivf.tuned_nprobe}); "
             f"batched {len(qs)}: {b_ms:.1f} ms total = "
-            f"{b_ms / len(qs):.2f} ms/query")
+            f"{b_ms / len(qs):.2f} ms/query", prio=0)
 
 
 def bench_ivf_10m() -> None:
@@ -599,7 +681,7 @@ def bench_ivf_10m() -> None:
     summary(f"IVF@10M bf16 one-chip: steady {steady / 2**30:.1f} GB + "
             f"build peak {peak / 2**30:.1f} GB vs HBM {limit_s} -> "
             f"infeasible (exact sweeps in-place; at this scale IVF runs "
-            f"mesh-sharded or on the host)")
+            f"mesh-sharded or on the host)", prio=2)
 
     # -- 2: largest feasible on-chip scale, head-to-head ----------------
     n, n_clusters, chunk = 3_000_000, 1732, 250_000
@@ -660,7 +742,8 @@ def bench_ivf_10m() -> None:
             f"recall@{K}={hits / (QUERY_BATCH * K):.4f}; batched {QUERY_BATCH}: "
             f"IVF {ivf_ms / QUERY_BATCH:.3f} ms/query vs exact "
             f"{exact_ms / QUERY_BATCH:.3f} ms/query -> "
-            f"{'IVF' if ivf_ms < exact_ms else 'EXACT'} wins on-chip")
+            f"{'IVF' if ivf_ms < exact_ms else 'EXACT'} wins on-chip",
+            prio=1)
     del ivf, emb_d
     gc.collect()
 
@@ -705,7 +788,7 @@ def bench_ivf_10m() -> None:
             f"on host XLA): exact {hx_ms:.1f} ms/q vs IVF probe "
             f"{hi_ms:.1f} ms/q ({hx_ms / max(hi_ms, 1e-9):.1f}x, "
             f"recall@{K}={hrecall:.4f}, nprobe={hivf.tuned_nprobe}) -> "
-            f"IVF wins on host")
+            f"IVF wins on host", prio=1)
 
 
 def bench_sq8() -> None:
@@ -802,7 +885,112 @@ def bench_sq8() -> None:
     summary(f"SQ8 20M rows EXACT, batched {QUERY_BATCH}: select p50 "
             f"{t_wall:.1f}ms wall = {t_wall / QUERY_BATCH:.3f} ms/query "
             f"(~{gbps:.0f} GB/s sweep), cert {certs}/{QUERY_BATCH} "
-            f"[capacity: 2x the bf16 HBM ceiling, exact results]")
+            f"[capacity: 2x the bf16 HBM ceiling, exact results]", prio=0)
+
+
+def bench_hbm() -> None:
+    """HBM-budget eviction + SQ8 certificate fallback ON THE REAL CHIP
+    (VERDICT r4 #5 — the machinery is CPU-tested in tests/test_hbm_budget
+    and tests/test_sq8, but had never run in a driver artifact).
+
+    One engine, EVOSSEARCH_HBM_BUDGET_MB=480, three folders:
+      A, B: 300k-row bf16 stores (~295 MB device bytes each) — caching B
+        forces A's LRU eviction; re-querying A re-materializes A (and
+        evicts B); the engine's eviction counter and the query latencies
+        on both sides of the eviction are the evidence.
+      C: a mass-tie corpus too big for a 4 MB-budget second engine, so it
+        routes to the SQ8 device tier whose certificate provably fails
+        (k-th score sits on a 3500-row tie plateau, deeper than the
+        512-candidate fetch) -> the exact host fallback fires on hardware
+        and the result stays exact.
+    """
+    import shutil
+    import tempfile
+
+    from evossearch_tpu.core import CLIP_MODEL_SPECS, Config
+    from evossearch_tpu.engine import SearchEngine
+    from evossearch_tpu.index.store import IndexWriter
+
+    rows, chunk = 300_000, 1 << 16
+    tmp = tempfile.mkdtemp(prefix="bench_hbm_")
+    eng = eng2 = None
+    try:
+        rng = np.random.default_rng(0)
+        queries = {}
+        for name in ("a", "b"):
+            w = IndexWriter.create(
+                f"{tmp}/{name}", model="ViT-B/32", dim=DIM,
+                dtype_name="bfloat16",
+                index_folder_name=Config(env_path=None).INDEX_FOLDER_NAME,
+            )
+            for start in range(0, rows, chunk):
+                emb = rng.standard_normal((chunk, DIM)).astype(np.float32)
+                emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+                w.append(emb, [f"{tmp}/{name}/x.jpg"] * chunk, [{}] * chunk)
+            w.finalize()
+            queries[name] = (emb[0] + 0.01).astype(np.float32)
+            queries[name] /= np.linalg.norm(queries[name])
+
+        cfg = Config(env_path=None)
+        cfg.HBM_BUDGET_MB = 480
+        eng = SearchEngine(cfg=cfg, spec=CLIP_MODEL_SPECS["ViT-B/32"])
+
+        def q(name: str) -> float:
+            t0 = time.perf_counter()
+            s, i, _ = eng.search_embedding(f"{tmp}/{name}", queries[name], K)
+            assert len(i) == K
+            return (time.perf_counter() - t0) * 1e3
+
+        q("a")  # materialize A (upload 295 MB) + compile
+        a_warm = min(q("a") for _ in range(3))
+        ev0 = eng.counters.snapshot().get("hbm_evictions", 0)
+        b_first = q("b")  # reserve B -> evict A -> upload B
+        a_remat = q("a")  # re-materialize A -> evict B
+        ev = eng.counters.snapshot().get("hbm_evictions", 0) - ev0
+        a_steady = min(q("a") for _ in range(3))
+        hbm = eng.hbm_snapshot()
+        res_mb = hbm["reserved_bytes"] / 2**20
+
+        # SQ8 fallback on hardware: same construction as
+        # tests/test_sq8.py::test_engine_counts_sq8_fallbacks, but the
+        # select kernel runs on the chip here.
+        folder_c = f"{tmp}/c"
+        emb_c = rng.standard_normal((7000, DIM)).astype(np.float32)
+        emb_c /= np.linalg.norm(emb_c, axis=1, keepdims=True)
+        emb_c[::2] = emb_c[0]  # 3500 identical rows: tie plateau at k-th
+        w = IndexWriter.create(
+            folder_c, model="ViT-B/32", dim=DIM, dtype_name="float32",
+            index_folder_name=cfg.INDEX_FOLDER_NAME,
+        )
+        w.append(emb_c, [f"{folder_c}/x.jpg"] * 7000, [{}] * 7000)
+        w.finalize()
+        cfg2 = Config(env_path=None)
+        # 14 MB f32 corpus can never fit a 4 MB budget -> SQ8 tier; the
+        # 3.6 MB int8 sidecar (7000 x (512+8) bytes) does fit it
+        cfg2.HBM_BUDGET_MB = 4
+        eng2 = SearchEngine(cfg=cfg2, spec=CLIP_MODEL_SPECS["ViT-B/32"])
+        qc = emb_c[0] + 1e-5 * rng.standard_normal(DIM).astype(np.float32)
+        qc = (qc / np.linalg.norm(qc)).astype(np.float32)
+        s, i, _ = eng2.search_embedding(folder_c, qc, K)
+        snap2 = eng2.counters.snapshot()
+        # exactness under the tie contract: the duplicates (even rows) tie
+        # at the top score, so lowest-index ordering returns 0,2,4,...
+        exact_ties = bool((np.asarray(i) == np.arange(0, 2 * K, 2)).all())
+        folder_mb = rows * DIM * 2 / 2**20
+        summary(f"HBM on-chip: 2x{folder_mb:.0f}MB bf16 folders vs "
+                f"{cfg.HBM_BUDGET_MB}MB budget: {int(ev)} evictions "
+                f"(A steady {a_warm:.0f}ms -> B first "
+                f"{b_first / 1e3:.1f}s evict+upload -> A re-mat "
+                f"{a_remat / 1e3:.1f}s -> A steady {a_steady:.0f}ms, "
+                f"{res_mb:.0f}MB reserved); SQ8 cert-fail fallback "
+                f"{int(snap2.get('sq8_fallback_queries', 0))}/"
+                f"{int(snap2.get('sq8_queries', 0))} queries, tie-exact="
+                f"{exact_ties}", prio=0)
+    finally:
+        for e in (eng, eng2):
+            if e is not None:
+                e.close()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_serve() -> None:
@@ -925,7 +1113,7 @@ def bench_serve() -> None:
                 f"queries @1M bf16: {qps:.0f} qps, p50="
                 f"{np.percentile(lat, 50):.0f}ms p99="
                 f"{np.percentile(lat, 99):.0f}ms "
-                f"(reference: single-threaded dev server)")
+                f"(reference: single-threaded dev server)", prio=0)
     finally:
         if eng is not None:
             eng.close()
@@ -971,7 +1159,7 @@ def bench_train() -> None:
     np.asarray(loss)  # fetch-last sync
     dt = time.perf_counter() - t0
     summary(f"train ViT-B/32 bf16 contrastive step (fwd+bwd+AdamW, remat, "
-            f"batch {bs}, dp=1): {reps * bs / dt:.0f} pairs/s/chip")
+            f"batch {bs}, dp=1): {reps * bs / dt:.0f} pairs/s/chip", prio=1)
 
 
 def warmup_backend() -> None:
@@ -1024,6 +1212,8 @@ EXTRAS_WALL_BUDGET_S = 1500
 def main() -> None:
     import gc
 
+    global _HEADLINE_JSON
+
     warmup_backend()
     t_start = time.perf_counter()
     # PRIMARY METRIC FIRST: a failed extra (e.g. an HBM-hungry IVF build
@@ -1032,14 +1222,18 @@ def main() -> None:
     stats = _run_phase(bench_search, budget_s=420)
     # HEADLINE IMMEDIATELY (VERDICT r3 #1): round 3 printed it only after
     # ~70 min of extras and the driver's outer timeout threw it away.
-    # stdout still carries exactly ONE JSON line — phases log to stderr.
+    # stdout still carries exactly ONE JSON line — phases log to stderr;
+    # the SAME line is re-emitted on stderr at the end of every summary
+    # block so it is also the run's LAST output (VERDICT r4 #1: the
+    # driver parses the trailing capture, not the early stdout).
     value = stats["per_query_ms"]
-    print(json.dumps({
+    _HEADLINE_JSON = json.dumps({
         "metric": "exact_top48_per_query_ms_at_1M_vectors_batch48",
         "value": round(value, 3),
         "unit": "ms",
         "vs_baseline": round(TARGET_P50_MS / value, 3),
-    }), flush=True)
+    })
+    print(_HEADLINE_JSON, flush=True)
     gc.collect()
 
     # Extras in EVIDENCE-PRIORITY order (what a timeout would cut last),
@@ -1050,10 +1244,10 @@ def main() -> None:
     # then IVF 1M; the 3M IVF head-to-head and the 10M sweep run last —
     # both already have driver-captured r03 evidence.
     budgets = {"bench_sq8": 600, "bench_ivf": 420, "bench_index": 600,
-               "bench_serve": 600, "bench_train": 480, "bench_encode": 480,
-               "bench_ivf_10m": 600}
-    extras = (bench_sq8, bench_ivf, bench_index, bench_serve, bench_train,
-              bench_encode, bench_encode_b16, bench_encode_l14,
+               "bench_hbm": 600, "bench_serve": 600, "bench_train": 480,
+               "bench_encode": 480, "bench_ivf_10m": 600}
+    extras = (bench_sq8, bench_ivf, bench_index, bench_hbm, bench_serve,
+              bench_train, bench_encode, bench_encode_b16, bench_encode_l14,
               bench_encode_rn50, bench_device_pipeline, bench_ivf_10m,
               bench_search_10m)
     for i, extra in enumerate(extras):
@@ -1071,6 +1265,9 @@ def main() -> None:
         # keep every key number inside the driver's trailing 2000-char
         # capture window, whatever phase the run dies in
         print_summary()
+    # Final block: the run's LAST line is the headline JSON, with every
+    # prio-0 evidence line immediately above it inside the tail window.
+    print_summary()
 
 
 if __name__ == "__main__":

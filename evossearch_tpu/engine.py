@@ -399,6 +399,9 @@ class SearchEngine:
             for start in range(0, canvases.shape[0], b):
                 sl = slice(start, start + b)
                 batch = canvases[sl]
+                # metering for rig-bound accounting (bench_index): canvas
+                # bytes actually shipped host->device this dispatch
+                self.counters.add("upload_canvas_bytes", int(batch.nbytes))
                 if sharding is not None:
                     batch = jax.device_put(batch, sharding)
                 in_flight.append(
@@ -457,6 +460,9 @@ class SearchEngine:
             for start in range(0, y_canvas.shape[0], b):
                 sl = slice(start, start + b)
                 yb, cb = y_canvas[sl], c_canvas[sl]
+                self.counters.add(
+                    "upload_canvas_bytes", int(yb.nbytes + cb.nbytes)
+                )
                 if sharding is not None:
                     yb = jax.device_put(yb, sharding)
                     cb = jax.device_put(cb, sharding)
