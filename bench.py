@@ -116,6 +116,39 @@ def _p50(fn, iters=ITERS) -> float:
     return float(np.percentile(_times(fn, iters), 50))
 
 
+def _settle_scalar(out) -> None:
+    """Sync on a QUEUED scalar reduce of `out` instead of fetching it.
+    Fetching the last output bills the run a full result download through
+    this rig's ~11-20 MB/s relay: a (128, 1024) f32 RN50 embedding is
+    512 KB ~= 46 ms, which at 8 reps depressed the round-4 RN50 line to
+    '6486 img/s ~38% MFU' when the tower actually runs at ~52%
+    (scripts/exp_rn50_profile.py pinned the artifact)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def _paired_reps_ms(fn, reps: int) -> float:
+    """Sustained ms/dispatch via wall(2N) - wall(N): the two runs share
+    identical per-run constants (settle dispatch + RPC floor + scalar
+    fetch), so the difference is N dispatches of pure pipeline time.
+    `fn` must already be compiled."""
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn()
+        _settle_scalar(out)
+        return time.perf_counter() - t0
+
+    run(3)  # warm the dispatch path
+    t1 = run(reps)
+    t2 = run(2 * reps)
+    return max((t2 - t1) / reps, 1e-9) * 1e3
+
+
 def bench_search() -> dict:
     import jax
     import jax.numpy as jnp
@@ -272,18 +305,15 @@ def _bench_encode_spec(
     def fwd(p, x):
         return encode_image(p, x, spec, compute_dtype=jnp.bfloat16, **enc_kw)
 
-    _sync(fwd(params, images))
-    t0 = time.perf_counter()
-    outs = [fwd(params, images) for _ in range(reps)]
-    np.asarray(outs[-1])  # fetch-last: sustained throughput (see bench_encode)
-    dt = time.perf_counter() - t0
-    ips = reps * batch / dt
+    _sync(fwd(params, images))  # compile
+    ms = _paired_reps_ms(lambda: fwd(params, images), reps)
+    ips = batch / ms * 1e3
     flops_fn = (
         _resnet_fwd_flops if spec.family == "resnet" else _vit_fwd_flops
     )
     mfu = ips * flops_fn(spec) / V5E_PEAK_BF16_FLOPS
     summary(f"encode {name} bf16: {ips:.0f} images/sec/chip "
-            f"(batch {batch}, ~{mfu:.0%} MFU vs "
+            f"(batch {batch}, paired-reps, ~{mfu:.0%} MFU vs "
             f"{V5E_PEAK_BF16_FLOPS / 1e12:.0f} TFLOP/s bf16 peak)",
             prio=prio)
 
@@ -292,19 +322,22 @@ def bench_encode_b16() -> None:
     """ViT-B/16 encode throughput + MFU (VERDICT r2 item 7: every
     ARCHITECTURE table number must be driver-reproducible from bench).
     197 tokens >= 128, so no seq_merge (engine policy, engine.py)."""
-    _bench_encode_spec("ViT-B/16", batch=128, reps=12)
+    _bench_encode_spec("ViT-B/16", batch=128, reps=16)
 
 
 def bench_encode_l14() -> None:
     """Extra: ViT-L/14 encode throughput (BASELINE config 3's encoder).
     batch 64 = measured optimum on v5e (128: -6%, 256: -11%)."""
-    _bench_encode_spec("ViT-L/14", batch=64, reps=8)
+    _bench_encode_spec("ViT-L/14", batch=64, reps=10)
 
 
 def bench_encode_rn50() -> None:
     """Extra: RN50 encode throughput — the modified-ResNet family
-    (round 4) running its conv stack + attention pool on the MXU."""
-    _bench_encode_spec("RN50", batch=128, reps=8)
+    (round 4) running its conv stack + attention pool on the MXU.
+    Round-4's '38% MFU' was a timing artifact (8 fetch-last reps billed
+    a 46 ms embedding download to 115 ms of compute); paired-reps
+    measures the tower itself at ~52% (scripts/exp_rn50_profile.py)."""
+    _bench_encode_spec("RN50", batch=128, reps=16)
 
 
 def bench_encode() -> None:
@@ -328,16 +361,15 @@ def bench_encode() -> None:
 
     _sync(fwd(params, images))
     reps = 20
-    # Sustained throughput: fetch only the LAST result. Each np.asarray
-    # pays this rig's ~29ms relay floor but OVERLAPS later dispatches, so
-    # fetch-every-rep measures max(device_time, fetch) per rep — an
-    # artifact that understated round-1 numbers by ~1.6x.
-    t0 = time.perf_counter()
-    outs = [fwd(params, images) for _ in range(reps)]
-    np.asarray(outs[-1])
-    dt = time.perf_counter() - t0
-    summary(f"encode ViT-B/32 bf16: {reps * batch / dt:.0f} images/sec/chip "
-            f"(batch {batch}, {reps} reps, seq_merge=2) [target >= 1000]",
+    # Sustained throughput via paired reps (wall(2N) - wall(N)): round 1
+    # understated by fetching EVERY rep (billed max(device, fetch) per
+    # rep, ~1.6x low); rounds 2-4 fetched only the last rep, which still
+    # billed one full embedding download (1 MB ~= 90-120 ms on this
+    # relay) to the run — ~10% low at 20 reps. The paired difference
+    # cancels every per-run constant.
+    ms = _paired_reps_ms(lambda: fwd(params, images), reps)
+    summary(f"encode ViT-B/32 bf16: {batch / ms * 1e3:.0f} images/sec/chip "
+            f"(batch {batch}, paired-reps, seq_merge=2) [target >= 1000]",
             prio=1)
 
 
@@ -581,14 +613,13 @@ def bench_device_pipeline() -> None:
         f"of canvases in {time.perf_counter() - t0:.1f}s (one-time)")
     fn = eng._jit_prep_encode
     _sync(fn(eng.params, canv_d, ah_d, aw_d, si_d))  # compile
-    reps = 12
-    t0 = time.perf_counter()
-    outs = [fn(eng.params, canv_d, ah_d, aw_d, si_d) for _ in range(reps)]
-    np.asarray(outs[-1])  # fetch-last (see bench_encode)
-    dt = time.perf_counter() - t0
+    ms = _paired_reps_ms(
+        lambda: fn(eng.params, canv_d, ah_d, aw_d, si_d), 12
+    )
     summary(f"device pipeline (fused preprocess+encode, 480x640 uint8 -> "
-            f"embedding): {reps * batch / dt:.0f} img/s/chip (batch {batch}) "
-            f"[indexing device ceiling; target >= 1000]", prio=1)
+            f"embedding): {batch / ms * 1e3:.0f} img/s/chip (batch {batch}, "
+            f"paired-reps) [indexing device ceiling; target >= 1000]",
+            prio=1)
     eng.close()  # don't leak batcher threads into later phases
 
 
