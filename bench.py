@@ -71,26 +71,37 @@ def summary(msg: str, prio: int = 1) -> None:
 def print_summary() -> None:
     if not _SUMMARY and _HEADLINE_JSON is None:
         return
-    # Print order: prio 2 lines first, prio 0 last (each in insertion
-    # order), so the key numbers sit nearest the end of the tail window.
-    order = sorted(range(len(_SUMMARY)), key=lambda j: (-_SUMMARY[j][0], j))
-    lines = ["| " + _SUMMARY[j][1] for j in order]
     budget = SUMMARY_TAIL_BUDGET - (
         len(_HEADLINE_JSON) + 1 if _HEADLINE_JSON else 0
     )
-    kept: list[str] = []
+    # Keep-set filled most-important-first (prio asc, then insertion
+    # order): a prio-0 line is never sacrificed to keep a lower-prio one,
+    # and within prio 0 the earliest-inserted lines (the bench_search
+    # headline metrics) win — the previous reverse-insertion fill dropped
+    # exactly those first under prio-0-only overflow.
+    kept_idx: set[int] = set()
     used = 0
-    for line in reversed(lines):  # fill from the most important end
-        if used + len(line) + 1 > budget:
-            break
-        kept.append(line)
-        used += len(line) + 1
-    dropped = len(lines) - len(kept)
-    log("==== summary (key lines last"
-        + (f"; {dropped} lower-prio lines elided" if dropped else "")
-        + ") ====")
-    for line in reversed(kept):
-        log(line)
+    dropped: dict[int, int] = {}
+    for j in sorted(range(len(_SUMMARY)), key=lambda j: (_SUMMARY[j][0], j)):
+        need = len(_SUMMARY[j][1]) + 3  # "| " prefix + newline
+        if used + need > budget:
+            dropped[_SUMMARY[j][0]] = dropped.get(_SUMMARY[j][0], 0) + 1
+            continue
+        kept_idx.add(j)
+        used += need
+    n_drop = sum(dropped.values())
+    label = ""
+    if n_drop:
+        if dropped.get(0):
+            label = (f"; {n_drop} lines elided INCL. {dropped[0]} prio-0 — "
+                     f"window too small")
+        else:
+            label = f"; {n_drop} lines elided (lower-prio only)"
+    log("==== summary (key lines last" + label + ") ====")
+    # Display order: prio 2 first ... prio 0 last (insertion order within),
+    # so the key numbers sit nearest the end of the tail window.
+    for j in sorted(kept_idx, key=lambda j: (-_SUMMARY[j][0], j)):
+        log("| " + _SUMMARY[j][1])
     log("========================")
     if _HEADLINE_JSON is not None:
         log(_HEADLINE_JSON)
@@ -130,11 +141,22 @@ def _settle_scalar(out) -> None:
     np.asarray(jnp.sum(leaf.astype(jnp.float32)))
 
 
-def _paired_reps_ms(fn, reps: int) -> float:
+def _paired_reps_ms(fn, reps: int) -> tuple[float, str]:
     """Sustained ms/dispatch via wall(2N) - wall(N): the two runs share
     identical per-run constants (settle dispatch + RPC floor + scalar
     fetch), so the difference is N dispatches of pure pipeline time.
-    `fn` must already be compiled."""
+    `fn` must already be compiled.
+
+    Returns (ms, note). The paired difference is only valid if the relay
+    held steady across the two runs; steady state implies
+    0 < t2 - t1 <= t1 (t1 carries the same constants PLUS N dispatches).
+    A violated bound means the relay drifted between runs (its sustained
+    rate is bimodal minute-to-minute on this rig) — the difference could
+    then be near-zero or negative and a silent clamp would print absurd
+    throughput as evidence. On violation: retry once; if still drifting,
+    fall back to t2/(2N) — which still contains the per-run constants, so
+    it can only UNDERSTATE throughput, never inflate it — and say so in
+    the returned note so the evidence line carries the caveat."""
     def run(n: int) -> float:
         t0 = time.perf_counter()
         out = None
@@ -144,9 +166,15 @@ def _paired_reps_ms(fn, reps: int) -> float:
         return time.perf_counter() - t0
 
     run(3)  # warm the dispatch path
-    t1 = run(reps)
-    t2 = run(2 * reps)
-    return max((t2 - t1) / reps, 1e-9) * 1e3
+    for _attempt in range(2):
+        t1 = run(reps)
+        t2 = run(2 * reps)
+        diff = t2 - t1
+        if 0 < diff <= t1 * 1.05:
+            return diff / reps * 1e3, ""
+    return (t2 / (2 * reps) * 1e3,
+            " [relay drifted across paired runs: conservative bound incl. "
+            "per-run constants]")
 
 
 def bench_search() -> dict:
@@ -306,7 +334,7 @@ def _bench_encode_spec(
         return encode_image(p, x, spec, compute_dtype=jnp.bfloat16, **enc_kw)
 
     _sync(fwd(params, images))  # compile
-    ms = _paired_reps_ms(lambda: fwd(params, images), reps)
+    ms, note = _paired_reps_ms(lambda: fwd(params, images), reps)
     ips = batch / ms * 1e3
     flops_fn = (
         _resnet_fwd_flops if spec.family == "resnet" else _vit_fwd_flops
@@ -314,8 +342,8 @@ def _bench_encode_spec(
     mfu = ips * flops_fn(spec) / V5E_PEAK_BF16_FLOPS
     summary(f"encode {name} bf16: {ips:.0f} images/sec/chip "
             f"(batch {batch}, paired-reps, ~{mfu:.0%} MFU vs "
-            f"{V5E_PEAK_BF16_FLOPS / 1e12:.0f} TFLOP/s bf16 peak)",
-            prio=prio)
+            f"{V5E_PEAK_BF16_FLOPS / 1e12:.0f} TFLOP/s bf16 peak)"
+            f"{note}", prio=prio)
 
 
 def bench_encode_b16() -> None:
@@ -367,10 +395,10 @@ def bench_encode() -> None:
     # billed one full embedding download (1 MB ~= 90-120 ms on this
     # relay) to the run — ~10% low at 20 reps. The paired difference
     # cancels every per-run constant.
-    ms = _paired_reps_ms(lambda: fwd(params, images), reps)
+    ms, note = _paired_reps_ms(lambda: fwd(params, images), reps)
     summary(f"encode ViT-B/32 bf16: {batch / ms * 1e3:.0f} images/sec/chip "
-            f"(batch {batch}, paired-reps, seq_merge=2) [target >= 1000]",
-            prio=1)
+            f"(batch {batch}, paired-reps, seq_merge=2) [target >= 1000]"
+            f"{note}", prio=1)
 
 
 class _PhaseTimeout(Exception):
@@ -613,13 +641,13 @@ def bench_device_pipeline() -> None:
         f"of canvases in {time.perf_counter() - t0:.1f}s (one-time)")
     fn = eng._jit_prep_encode
     _sync(fn(eng.params, canv_d, ah_d, aw_d, si_d))  # compile
-    ms = _paired_reps_ms(
+    ms, note = _paired_reps_ms(
         lambda: fn(eng.params, canv_d, ah_d, aw_d, si_d), 12
     )
     summary(f"device pipeline (fused preprocess+encode, 480x640 uint8 -> "
             f"embedding): {batch / ms * 1e3:.0f} img/s/chip (batch {batch}, "
-            f"paired-reps) [indexing device ceiling; target >= 1000]",
-            prio=1)
+            f"paired-reps) [indexing device ceiling; target >= 1000]"
+            f"{note}", prio=1)
     eng.close()  # don't leak batcher threads into later phases
 
 
@@ -955,9 +983,11 @@ def bench_hbm() -> None:
                 index_folder_name=Config(env_path=None).INDEX_FOLDER_NAME,
             )
             for start in range(0, rows, chunk):
-                emb = rng.standard_normal((chunk, DIM)).astype(np.float32)
+                n_rows = min(chunk, rows - start)  # final chunk is partial
+                emb = rng.standard_normal((n_rows, DIM)).astype(np.float32)
                 emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-                w.append(emb, [f"{tmp}/{name}/x.jpg"] * chunk, [{}] * chunk)
+                w.append(emb, [f"{tmp}/{name}/x.jpg"] * n_rows,
+                         [{}] * n_rows)
             w.finalize()
             queries[name] = (emb[0] + 0.01).astype(np.float32)
             queries[name] /= np.linalg.norm(queries[name])

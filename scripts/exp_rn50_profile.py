@@ -16,14 +16,13 @@ from __future__ import annotations
 
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
+from bench import _paired_reps_ms, _settle_scalar
 from evossearch_tpu.core import CLIP_MODEL_SPECS
 from evossearch_tpu.models import encode_image, init_params
 from evossearch_tpu.models.resnet import (
@@ -40,32 +39,18 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _settle(out) -> None:
-    """Sync on a queued SCALAR reduce of the output, not the output
-    itself: fetching a (B, 56, 56, 256) activation ships hundreds of MB
-    through the ~11-20 MB/s relay and dominated the first version of
-    this experiment (stage1 'cost' 267 ms/rep of pure fetch)."""
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(jnp.sum(leaf.astype(jnp.float32)))
-
-
 def timed(fn, *args, reps: int = REPS) -> float:
-    """ms per rep by PAIRED reps: wall(2N) - wall(N) cancels every
-    per-run constant (scalar-settle dispatch, RPC floor, fetch)."""
-    _settle(fn(*args))  # compile
-
-    def run(n: int) -> float:
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn(*args)
-        _settle(out)
-        return time.perf_counter() - t0
-
-    run(4)  # warm the dispatch path
-    t1 = run(reps)
-    t2 = run(2 * reps)
-    return (t2 - t1) / reps * 1e3
+    """ms per rep via bench.py's paired-reps (wall(2N) - wall(N) with a
+    scalar-reduce settle — fetching a (B, 56, 56, 256) activation ships
+    hundreds of MB through the ~11-20 MB/s relay and dominated the first
+    version of this experiment). Shares bench's implementation so the
+    drift guard (retry + conservative fallback, never negative) applies
+    to this attribution report identically."""
+    _settle_scalar(fn(*args))  # compile
+    ms, note = _paired_reps_ms(lambda: fn(*args), reps)
+    if note:
+        log(f"    note:{note}")
+    return ms
 
 
 def stem_flops(s: int, w: int) -> float:

@@ -28,42 +28,49 @@ def shrink() -> None:
     bench.ITERS = 3
 
 
-def smoke_serve() -> None:
-    # shrink the module-level constants bench_serve reads via closure
-    import types
-
-    src_fn = bench.bench_serve
-    g = dict(src_fn.__globals__)
-    small = types.FunctionType(src_fn.__code__, g, src_fn.__name__)
-    g["N_VECTORS"] = 20_000
-    # bench_serve hardcodes n, chunk, threads, per_thread locally; patch by
-    # running the real function but with a tiny store via monkeypatched
-    # IndexWriter chunking is overkill — instead exec a tweaked copy.
+def _patched_phase(fn, *replacements: tuple[str, str]):
+    """Re-exec a bench phase's source with literal replacements, asserting
+    every replacement actually matched — an unmatched pattern (the bench
+    source drifted) would otherwise silently run the FULL-scale phase on
+    the 1-core CPU rig for minutes instead of seconds."""
     import inspect
     import textwrap
 
-    src = inspect.getsource(bench.bench_serve)
-    src = src.replace("n, chunk = 1_000_000, 1 << 17", "n, chunk = 4096, 2048")
-    src = src.replace("threads, per_thread = 8, 40", "threads, per_thread = 4, 3")
+    src = inspect.getsource(fn)
+    for old, new in replacements:
+        patched = src.replace(old, new)
+        assert patched != src, (
+            f"smoke patch target not found in {fn.__name__}: {old!r}"
+        )
+        src = patched
     ns = dict(bench.__dict__)
     exec(textwrap.dedent(src), ns)
-    ns["bench_serve"]()
+    return ns[fn.__name__]
+
+
+def smoke_serve() -> None:
+    # bench_serve hardcodes n, chunk, threads, per_thread locally; run a
+    # re-exec'd copy with the literals shrunk (checked replacements).
+    _patched_phase(
+        bench.bench_serve,
+        ("n, chunk = 1_000_000, 1 << 17", "n, chunk = 4096, 2048"),
+        ("threads, per_thread = 8, 40", "threads, per_thread = 4, 3"),
+    )()
 
 
 def smoke_train() -> None:
-    import inspect
-    import textwrap
-
-    src = inspect.getsource(bench.bench_train)
-    src = src.replace("bs = 256", "bs = 4")
-    src = src.replace("reps = 10", "reps = 2")
-    src = src.replace('CLIP_MODEL_SPECS["ViT-B/32"]', "_TINY_SPEC")
-    ns = dict(bench.__dict__)
     from evossearch_tpu.core import CLIP_MODEL_SPECS
 
-    ns["_TINY_SPEC"] = CLIP_MODEL_SPECS["ViT-B/32"]
-    exec(textwrap.dedent(src), ns)
-    ns["bench_train"]()
+    bench.__dict__["_TINY_SPEC"] = CLIP_MODEL_SPECS["ViT-B/32"]
+    try:
+        _patched_phase(
+            bench.bench_train,
+            ("bs = 256", "bs = 4"),
+            ("reps = 10", "reps = 2"),
+            ('CLIP_MODEL_SPECS["ViT-B/32"]', "_TINY_SPEC"),
+        )()
+    finally:
+        bench.__dict__.pop("_TINY_SPEC", None)
 
 
 def smoke_search() -> None:
@@ -72,27 +79,22 @@ def smoke_search() -> None:
 
 
 def smoke_index() -> None:
-    import inspect
-    import textwrap
-
-    src = inspect.getsource(bench.bench_index)
-    src = src.replace("n_images = 1536", "n_images = 64")
-    ns = dict(bench.__dict__)
-    exec(textwrap.dedent(src), ns)
-    ns["bench_index"]()
+    _patched_phase(bench.bench_index, ("n_images = 1536", "n_images = 64"))()
 
 
 def smoke_hbm() -> None:
-    import inspect
-    import textwrap
-
-    src = inspect.getsource(bench.bench_hbm)
-    src = src.replace("rows, chunk = 300_000, 1 << 16",
-                      "rows, chunk = 20_000, 10_000")
-    src = src.replace("cfg.HBM_BUDGET_MB = 480", "cfg.HBM_BUDGET_MB = 30")
-    ns = dict(bench.__dict__)
-    exec(textwrap.dedent(src), ns)
-    ns["bench_hbm"]()
+    # Pin the single-device kernel: under the forced 8-CPU-device test
+    # mesh the engine auto-resolves to "sharded", whose per-chip
+    # reservations are 8x smaller — nothing would evict and the SQ8 tier
+    # would never engage, so the asserts below would test nothing.
+    _patched_phase(
+        bench.bench_hbm,
+        ("rows, chunk = 300_000, 1 << 16", "rows, chunk = 20_000, 10_000"),
+        ("cfg.HBM_BUDGET_MB = 480",
+         "cfg.HBM_BUDGET_MB = 30\n        cfg.SEARCH_KERNEL = 'best'"),
+        ("cfg2.HBM_BUDGET_MB = 4",
+         "cfg2.HBM_BUDGET_MB = 4\n        cfg2.SEARCH_KERNEL = 'best'"),
+    )()
     line = bench._SUMMARY[-1][1]
     assert "2 evictions" in line, line
     assert "fallback 1/1" in line, line

@@ -53,7 +53,7 @@ def test_headline_json_is_last_line_even_with_overflow():
         tail = out[-2000:]
         assert json.loads(tail.strip().splitlines()[-1])["metric"] == "m"
         assert "KEY-EVIDENCE-LINE" in tail
-        assert "lower-prio lines elided" in out
+        assert "lines elided (lower-prio only)" in out
         # the block itself (markers + lines + JSON) must fit the window
         block = out[out.rindex("==== summary"):]
         assert len(block) <= 2000, len(block)
@@ -75,6 +75,65 @@ def test_priority_order_and_no_elision_when_small():
         assert "elided" not in buf.getvalue()
     finally:
         _reset()
+
+
+def test_prio0_overflow_keeps_earliest_headlines_and_says_so():
+    """If prio-0 lines alone overflow the window, the earliest-inserted
+    (bench_search headline) lines survive and the elision label admits
+    prio-0 evidence was dropped — never 'lower-prio' when it wasn't."""
+    _reset()
+    try:
+        bench.summary("FIRST-HEADLINE " + "y" * 140, prio=0)
+        for j in range(20):
+            bench.summary("z" * 140 + f" later-prio0 {j}", prio=0)
+        bench._HEADLINE_JSON = json.dumps({"metric": "m", "value": 1.0})
+        buf = io.StringIO()
+        with contextlib.redirect_stderr(buf):
+            bench.print_summary()
+        out = buf.getvalue()
+        assert "FIRST-HEADLINE" in out
+        assert "INCL." in out and "prio-0" in out
+        assert "lower-prio only" not in out
+        block = out[out.rindex("==== summary"):]
+        assert len(block) <= 2000, len(block)
+    finally:
+        _reset()
+
+
+def _fake_clock(monkeypatch, durations):
+    """perf_counter stub: each (start, end) pair advances by the next
+    scripted duration — one duration per run() inside _paired_reps_ms."""
+    durs = iter(durations)
+    state = {"t": 0.0, "start": True}
+
+    def fake():
+        if state["start"]:
+            state["start"] = False
+            return state["t"]
+        state["start"] = True
+        state["t"] += next(durs)
+        return state["t"]
+
+    monkeypatch.setattr(bench.time, "perf_counter", fake)
+    monkeypatch.setattr(bench, "_settle_scalar", lambda out: None)
+
+
+def test_paired_reps_steady_returns_difference(monkeypatch):
+    # runs: warm, t1=1.0s, t2=1.8s -> diff 0.8s over 5 reps = 160 ms
+    _fake_clock(monkeypatch, [0.1, 1.0, 1.8])
+    ms, note = bench._paired_reps_ms(lambda: None, 5)
+    assert note == ""
+    assert abs(ms - 160.0) < 1e-6
+
+
+def test_paired_reps_drift_falls_back_conservatively(monkeypatch):
+    """Relay drift (t2 <= t1) must not clamp to an absurd throughput: one
+    retry, then the conservative t2/(2N) bound with a caveat note."""
+    # warm, then two drifting attempts: (1.0, 0.5) and (1.0, 0.9)
+    _fake_clock(monkeypatch, [0.1, 1.0, 0.5, 1.0, 0.9])
+    ms, note = bench._paired_reps_ms(lambda: None, 5)
+    assert "relay drifted" in note
+    assert abs(ms - 90.0) < 1e-6  # 0.9s / (2*5) reps
 
 
 def test_single_query_attribution_paths():
