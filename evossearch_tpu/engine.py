@@ -1585,9 +1585,16 @@ class SearchEngine:
                     and self._entry_ivf_host(entry, reader) is not None
                 )
                 if self._host_batcher is not None:
-                    scores, idx = self._host_batcher.submit(
-                        _canon(folder), q1_host(), k
-                    )
+                    try:
+                        scores, idx = self._host_batcher.submit(
+                            _canon(folder), q1_host(), k
+                        )
+                    except LookupError:
+                        # index vanished between this thread's check and
+                        # the worker's re-open — same contract as the
+                        # fused text path: any load anomaly -> "not
+                        # indexed" (None), never a 500
+                        return None
                     if use_ivf:
                         valid = idx >= 0
                         scores, idx = scores[valid], idx[valid]
@@ -1620,9 +1627,12 @@ class SearchEngine:
                     # at 1M rows) inside the single batcher worker would
                     # head-of-line block every other folder's searches.
                     self._entry_ivf_any(entry, reader)
-                    scores, idx = self._batcher.submit(
-                        _canon(folder), q2d, k
-                    )
+                    try:
+                        scores, idx = self._batcher.submit(
+                            _canon(folder), q2d, k
+                        )
+                    except LookupError:
+                        return None  # index vanished before the worker ran
                     valid = idx >= 0
                     scores, idx = scores[valid], idx[valid]
                 else:
@@ -1635,7 +1645,12 @@ class SearchEngine:
                     kernel in ("xla", "sharded", "pallas", "best")
                     and self._batcher is not None
                 ):
-                    scores, idx = self._batcher.submit(_canon(folder), q2d, k)
+                    try:
+                        scores, idx = self._batcher.submit(
+                            _canon(folder), q2d, k
+                        )
+                    except LookupError:
+                        return None  # index vanished before the worker ran
                 elif kernel == "host":
                     from .index.search import exact_search_host_reader
 

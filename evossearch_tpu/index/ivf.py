@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .search import blocked_top_k
+from .search import sort_by_score_then_index
 
 NEG_INF = float(np.finfo(np.float32).min)
 
@@ -353,16 +353,20 @@ class IVFIndex:
         cent, buckets, bucket_ids, spill, spill_ids = self._host_arrays()
         nprobe = self.resolve_nprobe(k, nprobe)
         q = np.asarray(query, np.float32)
-        cs = cent @ q
+        cs = cent.astype(np.float32) @ q
         if nprobe < len(cs):
             probe = np.argpartition(-cs, nprobe - 1)[:nprobe]
         else:
             probe = np.arange(len(cs))
         sub = buckets[probe].reshape(-1, buckets.shape[2])
         ids = bucket_ids[probe].reshape(-1)
-        scores = sub.astype(np.float32) @ q
+        # bf16 buckets: quantize the query to the bucket dtype first,
+        # exactly like the exact host scan (index/search.py) and the
+        # device/sharded IVF routes, so every route scores identically
+        qb = q.astype(buckets.dtype).astype(np.float32)
+        scores = sub.astype(np.float32) @ qb
         if len(spill):
-            scores = np.concatenate([scores, spill.astype(np.float32) @ q])
+            scores = np.concatenate([scores, spill.astype(np.float32) @ qb])
             ids = np.concatenate([ids, spill_ids])
         valid = ids >= 0
         scores, ids = scores[valid], ids[valid]
@@ -563,15 +567,27 @@ def _ivf_search(centroids, buckets, bucket_ids, spill, spill_ids,
     _, probe = jax.lax.top_k(cscores, nprobe)
     sub = buckets[probe]  # (nprobe, cap, d)
     sub_ids = bucket_ids[probe]  # (nprobe, cap)
+    # Quantize the query to the bucket dtype before scoring — the
+    # contract every exact kernel (index/search.py), the host probe, and
+    # the mesh-sharded IVF (parallel/sharded_ivf.py) follow, so the same
+    # query scores the same rows identically across every route.
+    qd = query.astype(buckets.dtype)
     scores = jnp.einsum(
-        "pcd,d->pc", sub, query, preferred_element_type=jnp.float32
+        "pcd,d->pc", sub, qd, preferred_element_type=jnp.float32
     ).reshape(-1)
     flat_ids = sub_ids.reshape(-1)
-    scores = jnp.where(flat_ids >= 0, scores, NEG_INF)
     if spill.shape[0]:
-        sp_scores = spill @ query
+        sp_scores = jnp.dot(spill, qd, preferred_element_type=jnp.float32)
         scores = jnp.concatenate([scores, sp_scores])
         flat_ids = jnp.concatenate([flat_ids, spill_ids])
+    scores = jnp.where(flat_ids >= 0, scores, NEG_INF)
     kk = min(k, scores.shape[0])
-    top_s, top_pos = blocked_top_k(scores, kk)
-    return top_s, flat_ids[top_pos]
+    # (score desc, id asc) over the candidate pool — the engine-wide tie
+    # contract. blocked_top_k's position tie-break follows PROBE order
+    # here (positions are bucket-ordered, not id-ordered), which made
+    # tied duplicates rank differently on the device route vs the host
+    # probe / sharded merge.
+    top_s, top_i = sort_by_score_then_index(
+        scores[None, :], flat_ids[None, :], kk
+    )
+    return top_s[0], top_i[0]

@@ -157,11 +157,27 @@ class IndexWriter:
         shard, rest = buf[:rows], buf[rows:]
         self._open_rows = [rest] if rest.size else []
         self._open_count = rest.shape[0] if rest.size else 0
-        name = f"shards/emb_{len(self.shards):05d}.bin"
+        start = self._flushed_rows
+        idx = len(self.shards)
+        name = f"shards/emb_{idx:05d}.bin"
         raw = np.ascontiguousarray(shard).tobytes()
         (self.root / name).write_bytes(raw)
+        # Per-shard paths/metadata sidecar, written ONCE at flush: resume
+        # progress I/O stays O(rows) overall — re-serializing every done
+        # row in progress.json on each flush was quadratic in corpus size
+        # (hundreds of MB of JSON per write near the end of a 10M-row
+        # build, on the host core that also bounds decode throughput).
+        nrows = int(shard.shape[0])
+        mdir = self.root / "progress_meta"
+        mdir.mkdir(exist_ok=True)
+        (mdir / f"meta_{idx:05d}.json").write_text(
+            json.dumps({
+                "paths": self._paths[start : start + nrows],
+                "metadata": self._metadata[start : start + nrows],
+            })
+        )
         self.shards.append(
-            {"file": name, "rows": int(shard.shape[0]), "crc32": zlib.crc32(raw)}
+            {"file": name, "rows": nrows, "crc32": zlib.crc32(raw)}
         )
 
     def _manifest(self) -> dict:
@@ -183,8 +199,13 @@ class IndexWriter:
 
         Unflushed tail rows are re-embedded on resume — progress is durable
         exactly at shard granularity (SURVEY §5 checkpoint/resume plan).
+        The covered rows' paths/metadata live in the per-shard
+        ``progress_meta/`` sidecars written at flush time (_flush_shard);
+        this file holds only the header + shard list. Write order makes a
+        crash safe anywhere: a shard's bin + sidecar exist before any
+        progress.json revision references it, and any inconsistency makes
+        resume() return None (full rebuild).
         """
-        n = self._flushed_rows
         tmp = self.root / "progress.json.tmp"
         tmp.write_text(
             json.dumps(
@@ -194,8 +215,6 @@ class IndexWriter:
                     "dtype": self.dtype_name,
                     "rows_per_shard": self.rows_per_shard,
                     "shards": self.shards,
-                    "done_paths": self._paths[:n],
-                    "metadata": self._metadata[:n],
                 }
             )
         )
@@ -222,13 +241,14 @@ class IndexWriter:
                 if not f.exists() or f.stat().st_size != shard["rows"] * dim * itemsize:
                     return None
             n = sum(s["rows"] for s in prog["shards"])
-            if not (len(prog["done_paths"]) == len(prog["metadata"]) == n):
+            done_paths, metadata = _read_progress_rows(root, prog)
+            if not (len(done_paths) == len(metadata) == n):
                 return None
             return cls(
                 root=root, final_root=final_root, model=model, dim=dim,
                 dtype_name=prog["dtype"], rows_per_shard=prog["rows_per_shard"],
                 count=n, shards=list(prog["shards"]),
-                _paths=list(prog["done_paths"]), _metadata=list(prog["metadata"]),
+                _paths=done_paths, _metadata=metadata,
             )
         except Exception:
             return None
@@ -246,6 +266,7 @@ class IndexWriter:
         (self.root / "metadata.json").write_text(json.dumps(self._metadata))
         (self.root / "manifest.json").write_text(json.dumps(self._manifest()))
         (self.root / "progress.json").unlink(missing_ok=True)
+        shutil.rmtree(self.root / "progress_meta", ignore_errors=True)
         # Atomic publish: move live index away (preserving comments.json),
         # move staging in, then clean up. The swap holds the comments lock
         # so a concurrent comment append can't land in the doomed old dir
@@ -391,6 +412,25 @@ class IndexReader:
             return 0.0
 
 
+def _read_progress_rows(root, prog: dict) -> tuple[list, list]:
+    """(paths, metadata) covered by a progress file: per-shard sidecars
+    in the current format, inline lists in the legacy one. Raises on a
+    missing/misaligned sidecar — callers treat that as "no resume"."""
+    if "done_paths" in prog:  # legacy inline format (pre per-shard meta)
+        return list(prog["done_paths"]), list(prog["metadata"])
+    paths: list = []
+    metadata: list = []
+    for i, shard in enumerate(prog["shards"]):
+        m = json.loads(
+            (root / "progress_meta" / f"meta_{i:05d}.json").read_text()
+        )
+        if not (len(m["paths"]) == len(m["metadata"]) == shard["rows"]):
+            raise ValueError("misaligned progress sidecar")
+        paths.extend(m["paths"])
+        metadata.extend(m["metadata"])
+    return paths, metadata
+
+
 def load_progress(
     folder: str | os.PathLike, index_folder_name: str = ".clip_index"
 ) -> set[str]:
@@ -398,7 +438,8 @@ def load_progress(
     root = index_dir(folder, index_folder_name)
     tmp = root.with_name(root.name + ".tmp")
     try:
-        return set(json.loads((tmp / "progress.json").read_text())["done_paths"])
+        prog = json.loads((tmp / "progress.json").read_text())
+        return set(_read_progress_rows(tmp, prog)[0])
     except Exception:
         return set()
 
