@@ -353,6 +353,66 @@ class SearchEngine:
                 self._mat_cache.popitem(last=False)
         return out
 
+    def _encode_prepared_impl(
+        self, canvases: tuple, mats: tuple, size_idx: np.ndarray,
+        fetch: bool, dispatch,
+    ):
+        """The bucket/DP-pad/two-in-flight pipeline shared by
+        encode_prepared (one RGB canvas) and encode_prepared_planar
+        (Y + chroma canvases); ``dispatch(canvas_batches, mats, idx)``
+        issues the fused jit for one bucket.
+
+        Two buckets in flight: fetching each bucket's embeddings
+        synchronously serialized upload -> compute -> fetch per bucket;
+        a bounded window lets bucket i+1's host->device transfer and
+        dispatch overlap bucket i's execution and fetch, while capping
+        live device canvases at 2 buckets of HBM."""
+        import jax
+
+        n = canvases[0].shape[0]
+        if n == 0:
+            empty = np.zeros((0, self.spec.embed_dim), np.float32)
+            return empty if fetch else PendingEmbeddings([], 0, self)
+        b = _bucket(n, max(self._index_batch, 1))
+        sharding = self._encode_sharding
+        if sharding is not None:
+            ndev = len(sharding.mesh.devices)
+            if b % ndev:  # pad the bucket so every device gets equal rows
+                b = -(-b // ndev) * ndev
+        if n < b or n % b:
+            pad = -(-n // b) * b - n
+            canvases = tuple(
+                np.concatenate([c, np.zeros((pad,) + c.shape[1:], c.dtype)])
+                for c in canvases
+            )
+            size_idx = np.concatenate([size_idx, np.zeros(pad, size_idx.dtype)])
+        mats = self._device_mats(mats)
+        out = []
+        in_flight: list = []
+        with self.timers.stage("prep_encode"):
+            for start in range(0, canvases[0].shape[0], b):
+                sl = slice(start, start + b)
+                batches = tuple(c[sl] for c in canvases)
+                # metering for rig-bound accounting (bench_index): canvas
+                # bytes actually shipped host->device this dispatch
+                self.counters.add(
+                    "upload_canvas_bytes",
+                    sum(int(c.nbytes) for c in batches),
+                )
+                if sharding is not None:
+                    batches = tuple(
+                        jax.device_put(c, sharding) for c in batches
+                    )
+                in_flight.append(dispatch(batches, mats, size_idx[sl]))
+                if fetch and len(in_flight) >= 2:
+                    out.append(np.asarray(in_flight.pop(0)))
+            if not fetch:
+                return PendingEmbeddings(in_flight, n, self)
+            out.extend(np.asarray(o) for o in in_flight)
+        emb = np.concatenate(out, axis=0)[:n]
+        self.counters.add("images_encoded", n)
+        return emb
+
     def encode_prepared(
         self, canvases: np.ndarray, a_h_u: np.ndarray, a_w_u: np.ndarray,
         size_idx: np.ndarray, fetch: bool = True,
@@ -369,54 +429,12 @@ class SearchEngine:
         overlap batch N's fetch (a pure relay round trip by then — the
         compute finished under batch N+1's decode) with further host work
         instead of serializing upload -> compute -> fetch per batch."""
-        import jax
-
-        n = canvases.shape[0]
-        if n == 0:
-            empty = np.zeros((0, self.spec.embed_dim), np.float32)
-            return empty if fetch else PendingEmbeddings([], 0, self)
-        b = _bucket(n, max(self._index_batch, 1))
-        sharding = self._encode_sharding
-        if sharding is not None:
-            ndev = len(sharding.mesh.devices)
-            if b % ndev:  # pad the bucket so every device gets equal rows
-                b = -(-b // ndev) * ndev
-        if n < b or canvases.shape[0] % b:
-            pad = -(-canvases.shape[0] // b) * b - canvases.shape[0]
-            canvases = np.concatenate(
-                [canvases, np.zeros((pad,) + canvases.shape[1:], canvases.dtype)]
-            )
-            size_idx = np.concatenate([size_idx, np.zeros(pad, size_idx.dtype)])
-        a_h_u, a_w_u = self._device_mats((a_h_u, a_w_u))
-        out = []
-        # Two buckets in flight: fetching each bucket's embeddings
-        # synchronously serialized upload -> compute -> fetch per bucket;
-        # a bounded window lets bucket i+1's host->device transfer and
-        # dispatch overlap bucket i's execution and fetch, while capping
-        # live device canvases at 2 buckets of HBM.
-        in_flight: list = []
-        with self.timers.stage("prep_encode"):
-            for start in range(0, canvases.shape[0], b):
-                sl = slice(start, start + b)
-                batch = canvases[sl]
-                # metering for rig-bound accounting (bench_index): canvas
-                # bytes actually shipped host->device this dispatch
-                self.counters.add("upload_canvas_bytes", int(batch.nbytes))
-                if sharding is not None:
-                    batch = jax.device_put(batch, sharding)
-                in_flight.append(
-                    self._jit_prep_encode(
-                        self.params, batch, a_h_u, a_w_u, size_idx[sl]
-                    )
-                )
-                if fetch and len(in_flight) >= 2:
-                    out.append(np.asarray(in_flight.pop(0)))
-            if not fetch:
-                return PendingEmbeddings(in_flight, n, self)
-            out.extend(np.asarray(o) for o in in_flight)
-        emb = np.concatenate(out, axis=0)[:n]
-        self.counters.add("images_encoded", n)
-        return emb
+        return self._encode_prepared_impl(
+            (canvases,), (a_h_u, a_w_u), size_idx, fetch,
+            lambda cs, mats, idx: self._jit_prep_encode(
+                self.params, cs[0], *mats, idx
+            ),
+        )
 
     def encode_prepared_planar(
         self, y_canvas: np.ndarray, c_canvas: np.ndarray,
@@ -427,59 +445,14 @@ class SearchEngine:
         """prepare_batch_planar output -> (B, embed_dim) embeddings via
         the fused planar program; same bucket padding, DP sharding,
         two-bucket pipelining, and ``fetch=False`` deferral as
-        encode_prepared."""
-        import jax
-
-        n = y_canvas.shape[0]
-        if n == 0:
-            empty = np.zeros((0, self.spec.embed_dim), np.float32)
-            return empty if fetch else PendingEmbeddings([], 0, self)
-        b = _bucket(n, max(self._index_batch, 1))
-        sharding = self._encode_sharding
-        if sharding is not None:
-            ndev = len(sharding.mesh.devices)
-            if b % ndev:
-                b = -(-b // ndev) * ndev
-        if n < b or n % b:
-            pad = -(-n // b) * b - n
-            y_canvas = np.concatenate(
-                [y_canvas,
-                 np.zeros((pad,) + y_canvas.shape[1:], y_canvas.dtype)]
-            )
-            c_canvas = np.concatenate(
-                [c_canvas,
-                 np.zeros((pad,) + c_canvas.shape[1:], c_canvas.dtype)]
-            )
-            size_idx = np.concatenate([size_idx, np.zeros(pad, size_idx.dtype)])
-        a_h_y, a_w_y, a_h_c, a_w_c = self._device_mats(
-            (a_h_y, a_w_y, a_h_c, a_w_c)
+        encode_prepared (shared _encode_prepared_impl)."""
+        return self._encode_prepared_impl(
+            (y_canvas, c_canvas), (a_h_y, a_w_y, a_h_c, a_w_c), size_idx,
+            fetch,
+            lambda cs, mats, idx: self._jit_prep_encode_planar(
+                self.params, cs[0], cs[1], *mats, idx
+            ),
         )
-        out = []
-        in_flight: list = []
-        with self.timers.stage("prep_encode"):
-            for start in range(0, y_canvas.shape[0], b):
-                sl = slice(start, start + b)
-                yb, cb = y_canvas[sl], c_canvas[sl]
-                self.counters.add(
-                    "upload_canvas_bytes", int(yb.nbytes + cb.nbytes)
-                )
-                if sharding is not None:
-                    yb = jax.device_put(yb, sharding)
-                    cb = jax.device_put(cb, sharding)
-                in_flight.append(
-                    self._jit_prep_encode_planar(
-                        self.params, yb, cb, a_h_y, a_w_y, a_h_c, a_w_c,
-                        size_idx[sl],
-                    )
-                )
-                if fetch and len(in_flight) >= 2:
-                    out.append(np.asarray(in_flight.pop(0)))
-            if not fetch:
-                return PendingEmbeddings(in_flight, n, self)
-            out.extend(np.asarray(o) for o in in_flight)
-        emb = np.concatenate(out, axis=0)[:n]
-        self.counters.add("images_encoded", n)
-        return emb
 
     def encode_images(self, images: list) -> np.ndarray:
         """PIL images / uint8 RGB arrays -> (B, embed_dim) L2-normalized
@@ -756,28 +729,37 @@ class SearchEngine:
 
     # -- micro-batched serving path --
 
-    @property
-    def _batcher(self):
-        # NOT functools.cached_property: that descriptor is no longer
-        # locked (3.12+), and two concurrent first searches would each
-        # spawn a MicroBatcher worker thread, leaking the loser forever.
-        # Double-checked: the lock-free read keeps the hot path (2-3
-        # accesses per search) off the global cache lock.
-        inst = self.__dict__.get("_batcher_inst", _UNSET)
+    def _lazy_batcher(self, attr: str, factory):
+        """Double-checked lazy init shared by the batcher properties.
+
+        NOT functools.cached_property: that descriptor is no longer
+        locked (3.12+), and two concurrent first searches would each
+        spawn a worker thread, leaking the loser forever. The lock-free
+        read keeps the hot path (2-3 accesses per search) off the global
+        cache lock. Every batcher is disabled together when
+        MICROBATCH_MS <= 0 (factory not called); close() tears the
+        instances down by these attr names."""
+        inst = self.__dict__.get(attr, _UNSET)
         if inst is not _UNSET:
             return inst
         with self._cache_lock:
-            if "_batcher_inst" not in self.__dict__:
-                if self.cfg.MICROBATCH_MS <= 0:
-                    self._batcher_inst = None
-                else:
-                    from .serving import MicroBatcher
+            if attr not in self.__dict__:
+                self.__dict__[attr] = (
+                    None if self.cfg.MICROBATCH_MS <= 0 else factory()
+                )
+            return self.__dict__[attr]
 
-                    self._batcher_inst = MicroBatcher(
-                        self._execute_search_batch,
-                        window_ms=self.cfg.MICROBATCH_MS,
-                    )
-            return self._batcher_inst
+    @property
+    def _batcher(self):
+        def make():
+            from .serving import MicroBatcher
+
+            return MicroBatcher(
+                self._execute_search_batch,
+                window_ms=self.cfg.MICROBATCH_MS,
+            )
+
+        return self._lazy_batcher("_batcher_inst", make)
 
     @property
     def _host_batcher(self):
@@ -787,64 +769,43 @@ class SearchEngine:
         # other folder's sub-millisecond device searches behind it.
         # Same natural-batching executor — concurrent host queries still
         # amortize one GEMM pass per shard.
-        inst = self.__dict__.get("_host_batcher_inst", _UNSET)
-        if inst is not _UNSET:
-            return inst
-        with self._cache_lock:
-            if "_host_batcher_inst" not in self.__dict__:
-                if self.cfg.MICROBATCH_MS <= 0:
-                    self._host_batcher_inst = None
-                else:
-                    from .serving import MicroBatcher
+        def make():
+            from .serving import MicroBatcher
 
-                    self._host_batcher_inst = MicroBatcher(
-                        self._execute_search_batch,
-                        window_ms=self.cfg.MICROBATCH_MS,
-                    )
-            return self._host_batcher_inst
+            return MicroBatcher(
+                self._execute_search_batch,
+                window_ms=self.cfg.MICROBATCH_MS,
+            )
+
+        return self._lazy_batcher("_host_batcher_inst", make)
 
     @property
     def _text_batcher(self):
-        # Same double-checked construction as _batcher: batches concurrent
-        # TEXT ENCODES into one (B, ctx) tower dispatch (see
-        # serving.TextEncodeBatcher); disabled with the micro-batcher.
-        inst = self.__dict__.get("_text_batcher_inst", _UNSET)
-        if inst is not _UNSET:
-            return inst
-        with self._cache_lock:
-            if "_text_batcher_inst" not in self.__dict__:
-                if self.cfg.MICROBATCH_MS <= 0:
-                    self._text_batcher_inst = None
-                else:
-                    from .serving import TextEncodeBatcher
+        # Batches concurrent TEXT ENCODES into one (B, ctx) tower
+        # dispatch (see serving.TextEncodeBatcher).
+        def make():
+            from .serving import TextEncodeBatcher
 
-                    def execute(tokens):
-                        return self._jit_encode_text(self.params, tokens)
+            return TextEncodeBatcher(
+                lambda tokens: self._jit_encode_text(self.params, tokens)
+            )
 
-                    self._text_batcher_inst = TextEncodeBatcher(execute)
-            return self._text_batcher_inst
+        return self._lazy_batcher("_text_batcher_inst", make)
 
     @property
     def _fused_batcher(self):
         # Fused text->search batcher (serving.TextSearchBatcher): fresh
         # text queries go out as ONE encode+search dispatch per
-        # concurrent same-folder batch. Same double-checked construction
-        # as _batcher; disabled with the micro-batcher.
-        inst = self.__dict__.get("_fused_batcher_inst", _UNSET)
-        if inst is not _UNSET:
-            return inst
-        with self._cache_lock:
-            if "_fused_batcher_inst" not in self.__dict__:
-                if self.cfg.MICROBATCH_MS <= 0:
-                    self._fused_batcher_inst = None
-                else:
-                    from .serving import TextSearchBatcher
+        # concurrent same-folder batch.
+        def make():
+            from .serving import TextSearchBatcher
 
-                    self._fused_batcher_inst = TextSearchBatcher(
-                        self._execute_text_search_batch,
-                        window_ms=self.cfg.MICROBATCH_MS,
-                    )
-            return self._fused_batcher_inst
+            return TextSearchBatcher(
+                self._execute_text_search_batch,
+                window_ms=self.cfg.MICROBATCH_MS,
+            )
+
+        return self._lazy_batcher("_fused_batcher_inst", make)
 
     # -- HBM budget: device-byte accounting for cached corpora --
     #
@@ -1108,17 +1069,10 @@ class SearchEngine:
 
         n_dev = int(mesh.devices.size)
         ivf_path = reader.root / f"ivf_mesh{n_dev}.npz"
-        ivf = None
-        if (
-            ivf_path.exists()
-            and ivf_path.stat().st_mtime >= entry["mtime"]
-        ):
-            ivf = ShardedIVFIndex.load(ivf_path, mesh=mesh)
-            if ivf is not None and (
-                ivf.n != reader.count
-                or ivf.nlist != self._ivf_want_nlist(reader)
-            ):
-                ivf = None
+        ivf = self._load_ivf_sidecar(
+            ivf_path, entry, reader,
+            lambda p: ShardedIVFIndex.load(p, mesh=mesh),
+        )
         if ivf is None:
             ivf = ShardedIVFIndex.build(
                 np.asarray(reader.embeddings()),
@@ -1136,21 +1090,7 @@ class SearchEngine:
         from .index.ivf import IVFIndex
 
         ivf_path = reader.root / "ivf.npz"
-        ivf = None
-        if (
-            ivf_path.exists()
-            and ivf_path.stat().st_mtime >= entry["mtime"]
-        ):
-            ivf = IVFIndex.load(ivf_path)
-            # effective-nlist staleness rule shared with the host
-            # sidecar path (_ivf_want_nlist): a persisted index built
-            # under an old EVOSSEARCH_IVF_NLIST would otherwise
-            # silently ignore the new setting forever
-            if ivf is not None and (
-                ivf.n != reader.count
-                or ivf.nlist != self._ivf_want_nlist(reader)
-            ):
-                ivf = None
+        ivf = self._load_ivf_sidecar(ivf_path, entry, reader, IVFIndex.load)
         import jax
 
         if jax.default_backend() != "cpu":
@@ -1188,6 +1128,23 @@ class SearchEngine:
         want = self.cfg.IVF_NLIST or max(1, int(reader.count ** 0.5))
         return min(want, max(reader.count, 1))
 
+    def _load_ivf_sidecar(self, path, entry, reader, loader):
+        """A persisted IVF sidecar, iff it is fresh (not older than the
+        entry's manifest mtime) and matches the store's row count and
+        the CURRENT effective nlist (_ivf_want_nlist) — one rule for the
+        single-device, mesh-sharded, and host loaders, so a staleness
+        policy change cannot silently miss a route. None on
+        absent/stale/mismatched."""
+        if not (path.exists() and path.stat().st_mtime >= entry["mtime"]):
+            return None
+        ivf = loader(path)
+        if ivf is not None and (
+            ivf.n != reader.count
+            or ivf.nlist != self._ivf_want_nlist(reader)
+        ):
+            return None
+        return ivf
+
     def _entry_ivf_host(self, entry, reader):
         """Host-resident IVF for an over-HBM-budget folder, or None.
 
@@ -1202,18 +1159,10 @@ class SearchEngine:
                 if "ivf_host" not in entry:
                     from .index.ivf import IVFIndex
 
-                    ivf_path = reader.root / "ivf.npz"
-                    ivf = None
-                    if (
-                        ivf_path.exists()
-                        and ivf_path.stat().st_mtime >= entry["mtime"]
-                    ):
-                        ivf = IVFIndex.load(ivf_path, host=True)
-                        want = self._ivf_want_nlist(reader)
-                        if ivf is not None and (
-                            ivf.n != reader.count or ivf.nlist != want
-                        ):
-                            ivf = None
+                    ivf = self._load_ivf_sidecar(
+                        reader.root / "ivf.npz", entry, reader,
+                        lambda p: IVFIndex.load(p, host=True),
+                    )
                     if ivf is None:
                         log.warning(
                             "INDEX_KIND=ivf but the over-HBM-budget folder "
