@@ -587,6 +587,37 @@ def _tree_candidates(
     certification bound — so the merge consumes them directly with no
     post-kernel transpose, slice, or concat."""
     n, d = emb.shape
+    compute_dtype = emb.dtype if emb.dtype == jnp.bfloat16 else jnp.float32
+    return _candidates_call(
+        lambda: _make_tree_kernel(n, d, compute_dtype, tile_rows),
+        n, d, tile_rows,
+        in_specs=[
+            pl.BlockSpec((LANES, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        bytes_accessed=n * d * emb.dtype.itemsize,
+        interpret=interpret,
+        args=(queries_padded, emb),
+    )
+
+
+def _candidates_call(
+    make_kernel, n: int, d: int, tile_rows: int, in_specs,
+    bytes_accessed: int, interpret: bool, args: tuple,
+):
+    """Shared pallas_call scaffolding for the two pre-packed candidate
+    kernels (_tree_candidates and sq8_candidates): shape validation, the
+    query-major packed candidate/certificate output layout, the cost
+    estimate, and the raised scoped-VMEM cap — documented to share one
+    structure, so a tuning change cannot silently fork them.
+
+    VMEM: the tree's live set (tile scores + the first merge level's
+    five channels) tops Mosaic's default 16 MB scoped-VMEM budget; the
+    large tile is the whole point (candidate count ~ 256 * N/tile), so
+    raise the cap instead of shrinking the tile. ~70 MB measured peak
+    incl. double-buffered corpus tiles; v5e VMEM is 128 MB."""
     if d % LANES:
         raise ValueError(f"d={d} must be a multiple of {LANES}")
     if tile_rows < 512 or tile_rows & (tile_rows - 1):
@@ -601,33 +632,22 @@ def _tree_candidates(
     cand_f32 = jax.ShapeDtypeStruct((LANES, grid * 2 * TREE_CLASSES), jnp.float32)
     cand_i32 = jax.ShapeDtypeStruct((LANES, grid * 2 * TREE_CLASSES), jnp.int32)
     cert_f32 = jax.ShapeDtypeStruct((LANES, grid * TREE_CLASSES), jnp.float32)
-    compute_dtype = emb.dtype if emb.dtype == jnp.bfloat16 else jnp.float32
     return pl.pallas_call(
-        _make_tree_kernel(n, d, compute_dtype, tile_rows),
+        make_kernel(),
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((LANES, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=(cand_block, cand_block, cert_block),
         out_shape=(cand_f32, cand_i32, cert_f32),
         cost_estimate=pl.CostEstimate(
             flops=2 * LANES * n * d,
-            bytes_accessed=n * d * emb.dtype.itemsize,
+            bytes_accessed=bytes_accessed,
             transcendentals=0,
         ),
-        # The tree's live set (tile scores + the first merge level's five
-        # channels) tops Mosaic's default 16 MB scoped-VMEM budget; the
-        # large tile is the whole point (candidate count ~ 256 * N/tile),
-        # so raise the cap instead of shrinking the tile. ~70 MB measured
-        # peak incl. double-buffered corpus tiles; v5e VMEM is 128 MB.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(queries_padded, emb)
+    )(*args)
 
 
 # SQ8 tile: unlike the tree kernel, the SQ8 select is MERGE-bound — the
@@ -656,23 +676,9 @@ def sq8_candidates(
     additive bound term (rows quantized against unit queries stay
     rigorous for any query norm)."""
     n, d = e8.shape
-    if d % LANES:
-        raise ValueError(f"d={d} must be a multiple of {LANES}")
-    if tile_rows < 512 or tile_rows & (tile_rows - 1):
-        raise ValueError(f"tile_rows={tile_rows} must be a power of two >= 512")
-    grid = pl.cdiv(n, tile_rows)
-    cand_block = pl.BlockSpec(
-        (LANES, 2 * TREE_CLASSES), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
-    cert_block = pl.BlockSpec(
-        (LANES, TREE_CLASSES), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
-    cand_f32 = jax.ShapeDtypeStruct((LANES, grid * 2 * TREE_CLASSES), jnp.float32)
-    cand_i32 = jax.ShapeDtypeStruct((LANES, grid * 2 * TREE_CLASSES), jnp.int32)
-    cert_f32 = jax.ShapeDtypeStruct((LANES, grid * TREE_CLASSES), jnp.float32)
-    return pl.pallas_call(
-        _make_sq8_kernel(n, d, tile_rows),
-        grid=(grid,),
+    return _candidates_call(
+        lambda: _make_sq8_kernel(n, d, tile_rows),
+        n, d, tile_rows,
         in_specs=[
             pl.BlockSpec((LANES, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((LANES, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -683,18 +689,10 @@ def sq8_candidates(
                 (2, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=(cand_block, cand_block, cert_block),
-        out_shape=(cand_f32, cand_i32, cert_f32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * LANES * n * d,
-            bytes_accessed=n * d + 8 * n,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
+        bytes_accessed=n * d + 8 * n,
         interpret=interpret,
-    )(queries_padded, qnorm, e8, scal2)
+        args=(queries_padded, qnorm, e8, scal2),
+    )
 
 
 def use_tree_kernel(n_rows: int, k: int, dtype) -> bool:

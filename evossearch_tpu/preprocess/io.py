@@ -50,11 +50,9 @@ def get_native():
                 ["sh", str(build)], capture_output=True, timeout=120, check=True
             )
             if stale:
-                import importlib
-
                 from evossearch_tpu import _native as mod
 
-                _native = importlib.reload(mod)
+                _native = _load_rebuilt_so(mod)
             else:
                 from evossearch_tpu import _native as mod
 
@@ -68,6 +66,34 @@ def get_native():
 
         _native = mod
     return _native
+
+
+def _load_rebuilt_so(old_mod):
+    """The just-rebuilt extension binary, or ``old_mod`` if loading fails.
+
+    ``importlib.reload`` is a no-op for single-phase-init C extensions:
+    it hands back the same module object without touching the new .so —
+    and CPython's extension-module cache is keyed by (name, path), so
+    re-importing under the same name cannot pick it up either. Loading
+    the same ``PyInit__native`` entry point under a DIFFERENT module
+    name defeats that cache; the rebuild replaced the file, so dlopen
+    sees a new inode and maps the new code. Without this, a process that
+    started with a pre-planar .so kept the RGB fallback (2x the canvas
+    upload bytes) for its whole lifetime despite the rebuild.
+    """
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "evossearch_tpu_rebuilt._native", Path(old_mod.__file__)
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        if hasattr(mod, "decode_jpeg_planar_batch"):
+            return mod
+    except Exception:
+        pass
+    return old_mod
 
 
 def load_batch_planar(

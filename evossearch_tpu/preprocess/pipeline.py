@@ -37,16 +37,57 @@ DEFAULT_MAX_SIDE = 1024
 def _host_shrink(arr: np.ndarray, max_side: int, target: int) -> np.ndarray:
     """Pre-shrink an oversized image with the same bicubic algorithm.
 
-    Scale must (a) fit both sides in the canvas, (b) never upscale, and is
-    (c) allowed to shrink down to shorter-side = 4*target for speed. PIL's
-    uint8 pass order/quantization is mirrored (horizontal, round+clamp,
-    vertical, round+clamp) for consistency with the device kernel.
+    The final transform is resize-shorter-side + CENTER CROP, so only a
+    centered, roughly short-side-wide band of the long axis can ever
+    reach the output; the band is cropped FIRST (short side + the
+    bicubic support margins of both resample stages), so the long side
+    of a panorama cannot drive the scale below the short-side floor —
+    without this, a 500x8000 source was shrunk to 64x1024 by constraint
+    (a) and the embedding came from a 64-px-tall blur instead of the
+    reference's 224.
+
+    The remaining scale must (a) fit both sides in the canvas, (b) never
+    upscale, and is (c) allowed to shrink down to shorter-side =
+    4*target for speed. PIL's uint8 pass order/quantization is mirrored
+    (horizontal, round+clamp, vertical, round+clamp) for consistency
+    with the device kernel.
     """
     h, w = arr.shape[:2]
+    short, long_ = min(h, w), max(h, w)
+    band = min(long_, short + 8 * -(-short // target) + 64)
+    if long_ > band:
+        if h >= w:
+            off = (h - band) // 2
+            arr = arr[off : off + band]
+        else:
+            off = (w - band) // 2
+            arr = arr[:, off : off + band]
+        h, w = arr.shape[:2]
     scale = min(1.0, max_side / max(h, w), 4 * target / min(h, w))
     nh = min(max_side, max(1, int(h * scale)))
     nw = min(max_side, max(1, int(w * scale)))
     return host_apply_resample(arr, resample_matrix(h, nh), resample_matrix(w, nw))
+
+
+def _route_oversized(arr: np.ndarray, max_side: int, target: int) -> np.ndarray:
+    """The image itself, or its host pre-shrink when it cannot ride the
+    canvas ladder.
+
+    Routing is by the bicubic SUPPORT WINDOW, not the raw dims: the
+    center crop means only a centered ~short-side-wide band of the long
+    axis is ever read, so a 500x8000 panorama's window is ~500x510 and
+    fits the ladder — it takes the normal windowed path with
+    reference-exact sampling geometry (matrices computed from the
+    ORIGINAL dims). Only images whose window genuinely exceeds the
+    ladder (short side > ~max_side) pay the approximate two-stage
+    pre-shrink."""
+    h, w = arr.shape[:2]
+    if h <= max_side and w <= max_side:
+        return arr
+    mh, mw, _, _ = clip_resize_crop_windowed(h, w, target)
+    if mh.shape[1] <= max_side and mw.shape[1] <= max_side:
+        return arr
+    return _host_shrink(arr, max_side, target)
 
 
 def host_apply_resample(
@@ -217,11 +258,7 @@ def prepare_batch(
     for a in arrays:
         if a.ndim != 3 or a.shape[2] != 3:
             raise ValueError(f"expected (H, W, 3) uint8 images, got {a.shape}")
-    shrunk = [
-        _host_shrink(a, max_side, target)
-        if a.shape[0] > max_side or a.shape[1] > max_side else a
-        for a in arrays
-    ]
+    shrunk = [_route_oversized(a, max_side, target) for a in arrays]
     # Canvases hold only each image's bicubic SUPPORT WINDOW — the center
     # crop zeroes every weight outside a centered band of the longer axis,
     # so the slice is dropped before upload (mathematically identical

@@ -48,18 +48,14 @@ def crop_offset(resized: int, crop: int) -> float:
     return float(int(round((resized - crop) / 2.0)))
 
 
-@functools.lru_cache(maxsize=4096)
-def resample_matrix(
-    in_size: int, out_size: int, crop_start: float = 0.0, crop_size: int | None = None
+def _build_weights(
+    scale: float, in_size: int, crop_start: float, crop_size: int
 ) -> np.ndarray:
-    """(crop_size, in_size) float32 weights for resize-then-crop on one axis.
-
-    Row r holds the bicubic weights producing output pixel ``crop_start + r``
-    of an ``in_size -> out_size`` PIL bicubic resize; taking only crop_size
-    rows implements the center crop for free.
-    """
-    crop_size = out_size if crop_size is None else crop_size
-    scale = in_size / out_size
+    """Pillow's ``precompute_coeffs`` row loop — ONE home for it, shared
+    by the luma and chroma matrices so a fix to the normalization/
+    truncation semantics cannot silently miss one of them. Row r's
+    kernel centers at ``(crop_start + r + 0.5) * scale`` on the input
+    grid, antialias-stretched by ``max(scale, 1)``."""
     filterscale = max(scale, 1.0)
     support = _SUPPORT * filterscale
     weights = np.zeros((crop_size, in_size), dtype=np.float64)
@@ -74,6 +70,20 @@ def resample_matrix(
             w /= total
         weights[r, xmin:xmax] = w
     return weights.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=4096)
+def resample_matrix(
+    in_size: int, out_size: int, crop_start: float = 0.0, crop_size: int | None = None
+) -> np.ndarray:
+    """(crop_size, in_size) float32 weights for resize-then-crop on one axis.
+
+    Row r holds the bicubic weights producing output pixel ``crop_start + r``
+    of an ``in_size -> out_size`` PIL bicubic resize; taking only crop_size
+    rows implements the center crop for free.
+    """
+    crop_size = out_size if crop_size is None else crop_size
+    return _build_weights(in_size / out_size, in_size, crop_start, crop_size)
 
 
 @functools.lru_cache(maxsize=4096)
@@ -98,21 +108,9 @@ def chroma_resample_matrix(
     upsamples whenever the luma resize downsamples by less than 2x).
     """
     crop_size = out_size if crop_size is None else crop_size
-    scale = full_in / out_size / 2.0
-    filterscale = max(scale, 1.0)
-    support = _SUPPORT * filterscale
-    weights = np.zeros((crop_size, chroma_in), dtype=np.float64)
-    for r in range(crop_size):
-        center = (crop_start + r + 0.5) * scale
-        xmin = max(0, int(center - support + 0.5))
-        xmax = min(chroma_in, int(center + support + 0.5))
-        xs = np.arange(xmin, xmax, dtype=np.float64)
-        w = _cubic_kernel((xs + 0.5 - center) / filterscale)
-        total = w.sum()
-        if total != 0.0:
-            w /= total
-        weights[r, xmin:xmax] = w
-    return weights.astype(np.float32)
+    return _build_weights(
+        full_in / out_size / 2.0, chroma_in, crop_start, crop_size
+    )
 
 
 def clip_resize_crop_chroma_matrices(

@@ -236,13 +236,16 @@ def create_app(engine: SearchEngine | None = None, cfg: Config | None = None) ->
             # re-parse O(corpus) JSON per request. Cache miss falls back
             # to open_index so unmigrated legacy-FAISS folders still get
             # migrated on first touch of this route.
-            _, reader = engine._cached_index(folder)
+            entry, reader = engine._cached_index(folder)
             if reader is None:
-                reader = engine.open_index(folder)
+                entry, reader = {}, engine.open_index(folder)
             if reader is None:
                 return jsonify({"error": "Folder not indexed"}, 400)
             comments_data = load_comments(folder, cfg.INDEX_FOLDER_NAME)
-            path_to_idx = {p: i for i, p in enumerate(reader.paths)}
+            # the engine's cached path->row map (shared with /image/
+            # membership and stored_embedding) — rebuilding it here cost
+            # O(corpus) per request on the 1-core host
+            path_to_idx = engine._path_rows(entry, reader)
             results = []
             for image_path, comment_list in comments_data.items():
                 idx = path_to_idx.get(image_path)

@@ -28,9 +28,14 @@ _cache_lock = threading.Lock()
 
 def _render(image_path: str, size: tuple[int, int], quality: int) -> str:
     img = Image.open(image_path)
-    img.thumbnail(size, Image.Resampling.LANCZOS)
+    # Convert BEFORE thumbnailing: Pillow silently substitutes NEAREST
+    # for the requested filter on palette ('P') images, so a P-mode PNG
+    # thumbnailed first gets a jagged nearest-neighbor downscale no
+    # matter what filter is passed. (The convert is itself a deliberate
+    # reference fix — see the module docstring.)
     if img.mode not in ("RGB", "L"):
         img = img.convert("RGB")
+    img.thumbnail(size, Image.Resampling.LANCZOS)
     buffer = BytesIO()
     img.save(buffer, format="JPEG", quality=quality)
     return base64.b64encode(buffer.getvalue()).decode()

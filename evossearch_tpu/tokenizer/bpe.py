@@ -172,13 +172,29 @@ class CLIPTokenizer:
 
     # -- core BPE --
 
+    _BPE_CACHE_CAP = 32768
+
+    def _cache_put(self, token: str, word: tuple[str, ...]) -> None:
+        """Insert with a size bound: a long-lived server fed diverse or
+        adversarial query text would otherwise grow the cache without
+        limit. Wholesale reset (keeping the specials) beats per-entry
+        LRU bookkeeping on this hot path — natural text re-warms its few
+        thousand live words immediately. Unlocked on purpose: dict ops
+        are GIL-atomic and a racing reset only costs re-derivation."""
+        if len(self._bpe_cache) >= self._BPE_CACHE_CAP:
+            self._bpe_cache = {
+                "<|startoftext|>": ("<|startoftext|>",),
+                "<|endoftext|>": ("<|endoftext|>",),
+            }
+        self._bpe_cache[token] = word
+
     def _bpe(self, token: str) -> tuple[str, ...]:
         cached = self._bpe_cache.get(token)
         if cached is not None:
             return cached
         word: tuple[str, ...] = tuple(token[:-1]) + (token[-1] + "</w>",)
         if not self.bpe_ranks:
-            self._bpe_cache[token] = word
+            self._cache_put(token, word)
             return word
         while len(word) > 1:
             pairs = _word_pairs(word)
@@ -200,7 +216,7 @@ class CLIPTokenizer:
                     merged.append(word[i])
                     i += 1
             word = tuple(merged)
-        self._bpe_cache[token] = word
+        self._cache_put(token, word)
         return word
 
     def encode(self, text: str) -> list[int]:

@@ -517,7 +517,14 @@ PyObject* py_decode_jpeg_planar(PyObject*, PyObject* args) {
   return planar_to_py(img);
 }
 
-PyObject* py_decode_jpeg_planar_batch(PyObject*, PyObject* args) {
+// Shared batch harness for the two decoders: list-of-bytes parsing,
+// thread-count clamping, the atomic work-queue workers, and the per-item
+// None-on-failure marshaling (caller skips, reference oldapp.py:79-80).
+// One home so a harness fix (input validation, error propagation) cannot
+// land in one entry point and silently miss the other.
+template <typename Img, Img (*DecodeFn)(const uint8_t*, size_t, int),
+          PyObject* (*ToPy)(const Img&)>
+PyObject* decode_batch_impl(PyObject* args) {
   PyObject* list;
   int min_short_side = 0;
   int nthreads = 0;
@@ -542,16 +549,16 @@ PyObject* py_decode_jpeg_planar_batch(PyObject*, PyObject* args) {
   }
   nthreads = std::min<int>(nthreads, 16);
 
-  std::vector<PlanarImage> results((size_t)count);
+  std::vector<Img> results((size_t)count);
   Py_BEGIN_ALLOW_THREADS;
   std::atomic<Py_ssize_t> next(0);
   auto worker = [&]() {
     while (true) {
       Py_ssize_t i = next.fetch_add(1);
       if (i >= count) break;
-      results[(size_t)i] = decode_one_planar(inputs[(size_t)i].first,
-                                             inputs[(size_t)i].second,
-                                             min_short_side);
+      results[(size_t)i] = DecodeFn(inputs[(size_t)i].first,
+                                    inputs[(size_t)i].second,
+                                    min_short_side);
     }
   };
   std::vector<std::thread> threads;
@@ -562,10 +569,10 @@ PyObject* py_decode_jpeg_planar_batch(PyObject*, PyObject* args) {
   PyObject* out = PyList_New(count);
   if (!out) return nullptr;
   for (Py_ssize_t i = 0; i < count; ++i) {
-    const PlanarImage& img = results[(size_t)i];
+    const Img& img = results[(size_t)i];
     PyObject* item;
     if (img.ok) {
-      item = planar_to_py(img);
+      item = ToPy(img);
       if (!item) {
         Py_DECREF(out);
         return nullptr;
@@ -578,6 +585,10 @@ PyObject* py_decode_jpeg_planar_batch(PyObject*, PyObject* args) {
     PyList_SET_ITEM(out, i, item);
   }
   return out;
+}
+
+PyObject* py_decode_jpeg_planar_batch(PyObject*, PyObject* args) {
+  return decode_batch_impl<PlanarImage, decode_one_planar, planar_to_py>(args);
 }
 
 PyObject* py_decode_jpeg(PyObject*, PyObject* args) {
@@ -594,66 +605,7 @@ PyObject* py_decode_jpeg(PyObject*, PyObject* args) {
 }
 
 PyObject* py_decode_jpeg_batch(PyObject*, PyObject* args) {
-  PyObject* list;
-  int min_short_side = 0;
-  int nthreads = 0;
-  if (!PyArg_ParseTuple(args, "O|ii", &list, &min_short_side, &nthreads)) {
-    return nullptr;
-  }
-  if (!PyList_Check(list)) {
-    PyErr_SetString(PyExc_TypeError, "expected a list of bytes");
-    return nullptr;
-  }
-  Py_ssize_t count = PyList_GET_SIZE(list);
-  std::vector<std::pair<const uint8_t*, size_t>> inputs((size_t)count);
-  for (Py_ssize_t i = 0; i < count; ++i) {
-    PyObject* item = PyList_GET_ITEM(list, i);
-    char* data;
-    Py_ssize_t len;
-    if (PyBytes_AsStringAndSize(item, &data, &len) != 0) return nullptr;
-    inputs[(size_t)i] = {reinterpret_cast<const uint8_t*>(data), (size_t)len};
-  }
-  if (nthreads <= 0) {
-    nthreads = (int)std::max(1u, std::thread::hardware_concurrency());
-  }
-  nthreads = std::min<int>(nthreads, 16);
-
-  std::vector<DecodedImage> results((size_t)count);
-  Py_BEGIN_ALLOW_THREADS;
-  std::atomic<Py_ssize_t> next(0);
-  auto worker = [&]() {
-    while (true) {
-      Py_ssize_t i = next.fetch_add(1);
-      if (i >= count) break;
-      results[(size_t)i] = decode_one(inputs[(size_t)i].first,
-                                      inputs[(size_t)i].second,
-                                      min_short_side);
-    }
-  };
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker);
-  for (auto& th : threads) th.join();
-  Py_END_ALLOW_THREADS;
-
-  PyObject* out = PyList_New(count);
-  if (!out) return nullptr;
-  for (Py_ssize_t i = 0; i < count; ++i) {
-    const DecodedImage& img = results[(size_t)i];
-    PyObject* item;
-    if (img.ok) {
-      item = decoded_to_py(img);
-      if (!item) {
-        Py_DECREF(out);
-        return nullptr;
-      }
-    } else {
-      // per-image failure -> None (caller skips, reference oldapp.py:79-80)
-      item = Py_None;
-      Py_INCREF(item);
-    }
-    PyList_SET_ITEM(out, i, item);
-  }
-  return out;
+  return decode_batch_impl<DecodedImage, decode_one, decoded_to_py>(args);
 }
 
 PyMethodDef methods[] = {

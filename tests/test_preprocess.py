@@ -110,6 +110,35 @@ def test_oversized_image_host_shrink_path():
     assert np.abs(dev - ref).max() < 0.6
 
 
+def test_panorama_takes_exact_windowed_path():
+    """A long side beyond the canvas ladder must NOT force the pre-shrink
+    when the crop-support window fits: only a centered short-side-wide
+    band of the long axis is ever read, so a 300x4000 panorama rides the
+    normal windowed path with reference-exact geometry. (Before the
+    round-5 fix, canvas-fit routing shrank 500x8000 to 64x1024 — the
+    embedding came from a 64-px-tall blur.)"""
+    rng = np.random.default_rng(7)
+    for size in ((300, 4000), (4000, 300), (100, 3000)):
+        img = _random_image(rng, *size)
+        ref = preprocess_reference(img)
+        dev = np.asarray(preprocess_batch([img], max_side=1024))[0]
+        diff = np.abs(dev - ref)
+        # exact windowed math: same tight tolerance as in-ladder images
+        assert diff.mean() < 0.01, (size, diff.mean())
+        assert diff.max() < 6.5 / (255 * 0.26), (size, diff.max())
+
+
+def test_huge_short_side_keeps_target_resolution():
+    """When the pre-shrink IS needed (short side beyond the ladder), the
+    long axis must not drive the short side below the 4*target floor."""
+    from evossearch_tpu.preprocess.pipeline import _host_shrink
+
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 256, (2000, 9000, 3), dtype=np.uint8)
+    out = _host_shrink(arr, 1024, 224)
+    assert min(out.shape[:2]) == 4 * 224, out.shape  # floor, not 1024/9000
+
+
 def test_non_rgb_modes_converted():
     rng = np.random.default_rng(3)
     gray = Image.fromarray(rng.integers(0, 256, (300, 400), dtype=np.uint8), "L")

@@ -182,3 +182,74 @@ def test_progress_missing_sidecar_means_no_resume(tmp_path):
     shutil.rmtree(w.root / "progress_meta")  # sidecars lost -> no resume
     assert IndexWriter.resume(tmp_path, model="t", dim=dim) is None
     assert load_progress(tmp_path) == set()
+
+
+# -- 4. palette-mode thumbnails get the requested LANCZOS filter ----------
+
+def test_palette_png_thumbnail_is_lanczos_not_nearest(tmp_path):
+    import base64
+    from io import BytesIO
+
+    from PIL import Image
+
+    from evossearch_tpu.server import thumbs
+
+    rng = np.random.default_rng(0)
+    rgb = Image.fromarray(
+        rng.integers(0, 256, (800, 800, 3), dtype=np.uint8)
+    )
+    p = rgb.convert("P", palette=Image.Palette.ADAPTIVE)
+    path = tmp_path / "pal.png"
+    p.save(path)
+
+    out = base64.b64decode(thumbs._render(str(path), (400, 400), 85))
+    got = np.asarray(Image.open(BytesIO(out)).convert("RGB"), np.float32)
+
+    # oracle: convert FIRST, then LANCZOS thumbnail, same JPEG encode
+    ref = Image.open(path).convert("RGB")
+    ref.thumbnail((400, 400), Image.Resampling.LANCZOS)
+    buf = BytesIO()
+    ref.save(buf, format="JPEG", quality=85)
+    want = np.asarray(
+        Image.open(BytesIO(buf.getvalue())).convert("RGB"), np.float32
+    )
+    assert np.array_equal(got, want)
+    # and it is NOT the nearest-neighbor downscale Pillow silently
+    # substitutes for P-mode inputs
+    nearest = np.asarray(
+        Image.open(path).resize((400, 400), Image.Resampling.NEAREST)
+        .convert("RGB"),
+        np.float32,
+    )
+    assert np.abs(got - nearest).mean() > 1.0
+
+
+# -- 5. BPE cache is bounded ---------------------------------------------
+
+def test_bpe_cache_is_bounded():
+    from evossearch_tpu.tokenizer.bpe import CLIPTokenizer
+
+    tok = CLIPTokenizer()  # byte-fallback mode
+    tok._BPE_CACHE_CAP = 8
+    for i in range(50):
+        tok.encode(f"word{i}")
+    assert len(tok._bpe_cache) <= 8 + 1  # cap, +1 for the post-reset insert
+    # specials survive the reset
+    assert "<|endoftext|>" in tok._bpe_cache
+    # correctness unaffected by eviction
+    assert tok.encode("word3") == tok.encode("word3")
+
+
+# -- 6. stale-native rebuild loads the NEW binary ------------------------
+
+def test_rebuilt_native_loads_fresh_module():
+    from evossearch_tpu.preprocess.io import _load_rebuilt_so, get_native
+
+    native = get_native()
+    if native is None:
+        pytest.skip("native ext unavailable")
+    fresh = _load_rebuilt_so(native)
+    # a fresh module object (the (name, path) extension cache was
+    # defeated), with the planar API present
+    assert fresh is not native
+    assert hasattr(fresh, "decode_jpeg_planar_batch")
