@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 
 
@@ -185,9 +186,22 @@ def main(argv: list[str] | None = None) -> int:
             spec, dataset, epochs=args.epochs, learning_rate=args.lr,
             params=params, checkpoint_dir=args.out, resume=args.resume,
         )
+        losses = [float(h) for h in history]
+        if not any(math.isfinite(v) for v in losses):
+            # zero training batches (e.g. <2 decodable captioned images):
+            # report the failure instead of success:true with a bare NaN
+            # token that strict JSON parsers reject
+            print(json.dumps({
+                "success": False, "model": name,
+                "error": "no trainable batches (need >= 2 decodable "
+                         "captioned images per batch)",
+            }))
+            return 1
         print(json.dumps({
             "success": True, "model": name, "epochs": args.epochs,
-            "loss_history": [round(float(h), 4) for h in history],
+            "loss_history": [
+                round(v, 4) if math.isfinite(v) else None for v in losses
+            ],
             "checkpoint": f"{args.out}/clip.npz",
         }))
         return 0

@@ -34,7 +34,15 @@ def scan_folder(
     folder = Path(folder)
     found: list[Path] = []
     for ext in sorted(extensions):
-        found.extend(sorted(folder.glob(f"*{ext}")))
+        found.extend(
+            # skip dot-prefixed hidden files: the reference's glob.glob
+            # never matches them for a '*' pattern, while pathlib's glob
+            # does — without this, macOS AppleDouble junk (._IMG.jpg)
+            # warns on every run and hidden images become search results
+            # the reference would never return
+            sorted(p for p in folder.glob(f"*{ext}")
+                   if not p.name.startswith("."))
+        )
     return found
 
 

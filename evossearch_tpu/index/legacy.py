@@ -100,7 +100,21 @@ def migrate_legacy_index(
         if meta_file.exists():
             try:
                 metadata = pickle.loads(meta_file.read_bytes())
-                if not isinstance(metadata, list) or len(metadata) != len(paths):
+                # entry SHAPE must hold too, not just the length:
+                # downstream subscripts m["path"]/m["mtime"]/m["size"]
+                # (builder._reuse_unchanged_rows, __main__'s watch
+                # fingerprint), and a migrated-verbatim list of tuples
+                # would crash those with a 500 instead of the store
+                # invariant's "malformed -> treat as absent"
+                if not (
+                    isinstance(metadata, list)
+                    and len(metadata) == len(paths)
+                    and all(
+                        isinstance(m, dict)
+                        and {"path", "mtime", "size"} <= m.keys()
+                        for m in metadata
+                    )
+                ):
                     metadata = None
             except Exception:
                 metadata = None

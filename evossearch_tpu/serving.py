@@ -45,112 +45,15 @@ from .utils import get_logger
 log = get_logger("serving")
 
 
-@dataclass
+@dataclass(eq=False)  # identity equality: the worker removes items from
+# the queue with list.remove, and a field-tuple __eq__ would hit
+# ndarray.__eq__ -> "truth value of an array is ambiguous" the moment two
+# distinct pendings ever compare (today unreachable only by queue order)
 class _Pending:
     folder: str
     query: object  # np.ndarray or device array (kept as-is — no host fetch)
     k: int
     future: Future = field(default_factory=Future)
-
-
-class TextEncodeBatcher:
-    """Natural micro-batching for TEXT ENCODES, the serving twin of
-    MicroBatcher: under concurrent load each query's text-tower dispatch
-    otherwise goes out alone (a burst of 320 queries measured 320
-    serialized encode dispatches on this rig — the dominant cost while
-    searches batched 4:1). Concurrent tokenized queries accumulate while
-    a dispatch is in flight and go out as ONE (B, ctx) forward pass.
-
-    ``execute_batch(tokens (B, ctx) int32) -> (B, embed) device array``;
-    the batcher pads B to a power of two (repeating row 0) so the jit
-    compiles a handful of bucket shapes, then hands each caller its
-    device-resident (1, embed) row — 2-D so the search dispatch can
-    consume it without another eager reshape (see engine's
-    _encode_text_device).
-    """
-
-    def __init__(self, execute_batch, max_batch: int = 64):
-        self._execute_batch = execute_batch
-        self._max_batch = max_batch
-        self._lock = threading.Lock()
-        self._queue: list[_Pending] = []
-        self._wake = threading.Event()
-        self._stop = False
-        self.dispatches = 0
-        self.batched_texts = 0
-        self._thread = threading.Thread(
-            target=self._loop, name="text-encode-batcher", daemon=True
-        )
-        self._thread.start()
-
-    def close(self) -> None:
-        self._stop = True
-        self._wake.set()
-        self._thread.join(timeout=2)
-        self._fail_pending("text-encode batcher closed")
-
-    def _fail_pending(self, reason: str) -> None:
-        with self._lock:
-            pending, self._queue = self._queue, []
-        for p in pending:
-            if not p.future.done():
-                p.future.set_exception(RuntimeError(reason))
-
-    def submit(self, tokens: np.ndarray):
-        """Blocking encode; tokens (ctx,) int32 -> (1, embed) device row."""
-        if self._stop:  # fail fast, never hang on a dead worker
-            raise RuntimeError("text-encode batcher closed")
-        item = _Pending(folder="", query=tokens, k=0)
-        with self._lock:
-            self._queue.append(item)
-        self._wake.set()
-        return item.future.result()
-
-    def _loop(self) -> None:
-        while not self._stop:
-            self._wake.wait()
-            if self._stop:
-                break
-            self._wake.clear()
-            while True:
-                with self._lock:
-                    if not self._queue:
-                        break
-                    batch = self._queue[: self._max_batch]
-                    del self._queue[: len(batch)]
-                self._run(batch)
-        # items that raced a close(): fail them, don't strand the callers
-        self._fail_pending("text-encode batcher closed")
-
-    def _run(self, batch: list[_Pending]) -> None:
-        try:
-            tokens = np.stack([p.query for p in batch])
-            b = tokens.shape[0]
-            # Pad every batch to ONE fixed shape (max_batch, ctx): a
-            # single jit compile, and — because text embeddings are
-            # CACHED — the result for a given text never depends on which
-            # batch size the surrounding load produced (per-shape XLA
-            # tilings may round differently). A padded text tower pass
-            # costs well under a millisecond of extra device time.
-            if b < self._max_batch:
-                tokens = np.concatenate([
-                    tokens,
-                    np.broadcast_to(
-                        tokens[:1], (self._max_batch - b,) + tokens.shape[1:]
-                    ),
-                ])
-            emb = self._execute_batch(tokens)
-            self.dispatches += 1
-            self.batched_texts += b
-            for row, p in enumerate(batch):
-                # (1, embed) row slice: same one-dispatch cost as emb[row]
-                # but the 2-D shape flows into the search kernel directly
-                p.future.set_result(emb[row : row + 1])
-        except Exception as e:
-            log.warning("batched text encode failed: %s", e)
-            for p in batch:
-                if not p.future.done():
-                    p.future.set_exception(e)
 
 
 class MicroBatcher:
@@ -160,6 +63,12 @@ class MicroBatcher:
     indices (Q, k)) is supplied by the engine; this class only does the
     queueing/grouping.
     """
+
+    # subclass knobs: worker-thread name, and whether the steady-load
+    # settle applies (folder-wave filling; the text-encode batcher has no
+    # waves to fill and dispatches as fast as it drains)
+    _name = "query-microbatcher"
+    _settle = True
 
     def __init__(
         self, execute_batch, window_ms: float = 2.0, max_batch: int = 64
@@ -184,15 +93,21 @@ class MicroBatcher:
         self.dispatches = 0  # observability: device dispatches issued
         self.batched_queries = 0
         self._thread = threading.Thread(
-            target=self._loop, name="query-microbatcher", daemon=True
+            target=self._loop, name=self._name, daemon=True
         )
         self._thread.start()
 
     def close(self) -> None:
-        self._stop = True
+        # _stop is flipped UNDER the queue lock: submit() checks it under
+        # the same lock before appending, so no item can slip into the
+        # queue after this close's final _fail_pending drained it (a
+        # submit that raced the old lockless flag could strand its caller
+        # on future.result() forever — no worker left to resolve it).
+        with self._lock:
+            self._stop = True
         self._wake.set()
         self._thread.join(timeout=2)
-        self._fail_pending("micro-batcher closed")
+        self._fail_pending(f"{self._name} closed")
 
     def _fail_pending(self, reason: str) -> None:
         with self._lock:
@@ -206,10 +121,10 @@ class MicroBatcher:
 
         ``query`` may be a numpy array or a device array — device arrays
         are passed through without a host fetch."""
-        if self._stop:  # fail fast, never hang on a dead worker
-            raise RuntimeError("micro-batcher closed")
         item = _Pending(folder=folder, query=query, k=k)
         with self._lock:
+            if self._stop:  # fail fast, never hang on a dead worker
+                raise RuntimeError(f"{self._name} closed")
             self._queue.append(item)
         self._wake.set()
         return item.future.result()
@@ -245,7 +160,8 @@ class MicroBatcher:
                 # the last 50 ms) skips this entirely — a solo query pays
                 # zero extra latency, the natural-batching contract above.
                 if (
-                    qlen < self._max_batch
+                    self._settle
+                    and qlen < self._max_batch
                     and not self._solo_round
                     and time.monotonic() - last_round_end < 0.05
                 ):
@@ -288,7 +204,7 @@ class MicroBatcher:
                     backlog = bool(self._queue)
                 self._solo_round = len(batch) == 1 and not backlog
         # items that raced a close(): fail them, don't strand the callers
-        self._fail_pending("micro-batcher closed")
+        self._fail_pending(f"{self._name} closed")
 
     def _run(self, folder: str, batch: list[_Pending]) -> None:
         """Execute one folder-grouped batch; overridden by the fused
@@ -329,6 +245,64 @@ class MicroBatcher:
                 )
         except Exception as e:
             log.warning("batched search failed: %s", e)
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(e)
+
+
+class TextEncodeBatcher(MicroBatcher):
+    """Natural micro-batching for TEXT ENCODES, the serving twin of
+    MicroBatcher (queueing/close lifecycle inherited; no folder waves, so
+    the steady-load settle is off): under concurrent load each query's
+    text-tower dispatch otherwise goes out alone (a burst of 320 queries
+    measured 320 serialized encode dispatches on this rig — the dominant
+    cost while searches batched 4:1). Concurrent tokenized queries
+    accumulate while a dispatch is in flight and go out as ONE (B, ctx)
+    forward pass.
+
+    ``execute_batch(tokens (B, ctx) int32) -> (B, embed) device array``;
+    the batcher pads B to one fixed shape, then hands each caller its
+    device-resident (1, embed) row — 2-D so the search dispatch can
+    consume it without another eager reshape (see engine's
+    _encode_text_device).
+    """
+
+    _name = "text-encode-batcher"
+    _settle = False
+
+    def __init__(self, execute_batch, max_batch: int = 64):
+        super().__init__(execute_batch, window_ms=0.0, max_batch=max_batch)
+
+    def submit(self, tokens: np.ndarray):
+        """Blocking encode; tokens (ctx,) int32 -> (1, embed) device row."""
+        return super().submit("", tokens, 0)
+
+    def _run(self, folder: str, batch: list[_Pending]) -> None:
+        try:
+            tokens = np.stack([p.query for p in batch])
+            b = tokens.shape[0]
+            # Pad every batch to ONE fixed shape (max_batch, ctx): a
+            # single jit compile, and — because text embeddings are
+            # CACHED — the result for a given text never depends on which
+            # batch size the surrounding load produced (per-shape XLA
+            # tilings may round differently). A padded text tower pass
+            # costs well under a millisecond of extra device time.
+            if b < self._max_batch:
+                tokens = np.concatenate([
+                    tokens,
+                    np.broadcast_to(
+                        tokens[:1], (self._max_batch - b,) + tokens.shape[1:]
+                    ),
+                ])
+            emb = self._execute_batch(tokens)
+            self.dispatches += 1
+            self.batched_queries += b
+            for row, p in enumerate(batch):
+                # (1, embed) row slice: same one-dispatch cost as emb[row]
+                # but the 2-D shape flows into the search kernel directly
+                p.future.set_result(emb[row : row + 1])
+        except Exception as e:
+            log.warning("batched text encode failed: %s", e)
             for p in batch:
                 if not p.future.done():
                     p.future.set_exception(e)

@@ -83,27 +83,68 @@ class PairDataset:
         EXACTLY batch_size rows (failed decodes are skipped and the
         batch topped up from later items; the ragged tail is dropped —
         static shapes, and the contrastive loss needs full batches of
-        negatives)."""
-        order = self.rng.permutation(len(self.items))
-        pending: list[tuple[np.ndarray, str]] = []
-        yielded = 0
-        for start in range(0, len(order), self.batch_size):
-            chunk = [self.items[i] for i in order[start : start + self.batch_size]]
-            arrays = load_batch_rgb([p for p, _ in chunk])
-            for a, (_, cap) in zip(arrays, chunk):
-                if a is None:
-                    continue
-                pending.append((self._canonical(a), cap))
-                if len(pending) == self.batch_size:
-                    yield self._finalize(pending)
-                    yielded += 1
-                    pending = []
-        # ragged tail: normally dropped for static shapes, but when NO
-        # full batch came out of the whole epoch (tiny dataset, or decode
-        # failures ate the margin) training must still see the data —
-        # one smaller batch beats zero steps and a NaN history.
-        if pending and yielded == 0 and len(pending) >= 2:
-            yield self._finalize(pending)
+        negatives).
+
+        Decode + canonicalize run in a PRODUCER thread, bounded two
+        batches ahead: the device's fwd+bwd step overlaps the next
+        batch's host decode instead of serializing with it (the same
+        overlap the indexing pipeline gets from _pipelined_build).
+        JPEGs decode DCT-scaled to the model's input size like the
+        indexing path (embedding cosine vs full decode > 0.9999) — full
+        12 MP decodes on the 1-core host dominated epoch time. If the
+        consumer abandons the generator mid-epoch the daemon producer
+        parks on the bounded queue until process exit (the training
+        loop always drains its epochs)."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+        _end = object()
+
+        def produce():
+            try:
+                order = self.rng.permutation(len(self.items))
+                pending: list[tuple[np.ndarray, str]] = []
+                yielded = 0
+                for start in range(0, len(order), self.batch_size):
+                    chunk = [
+                        self.items[i]
+                        for i in order[start : start + self.batch_size]
+                    ]
+                    arrays = load_batch_rgb(
+                        [p for p, _ in chunk],
+                        min_short_side=self.spec.image_size,
+                    )
+                    for a, (_, cap) in zip(arrays, chunk):
+                        if a is None:
+                            continue
+                        pending.append((self._canonical(a), cap))
+                        if len(pending) == self.batch_size:
+                            q.put(self._finalize(pending))
+                            yielded += 1
+                            pending = []
+                # ragged tail: normally dropped for static shapes, but
+                # when NO full batch came out of the whole epoch (tiny
+                # dataset, or decode failures ate the margin) training
+                # must still see the data — one smaller batch beats zero
+                # steps and a NaN history.
+                if pending and yielded == 0 and len(pending) >= 2:
+                    q.put(self._finalize(pending))
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
+                return
+            q.put(_end)
+
+        threading.Thread(
+            target=produce, name="pair-loader", daemon=True
+        ).start()
+        while True:
+            item = q.get()
+            if item is _end:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
     def _finalize(self, pending):
         canv, a_h, a_w, idx = prepare_batch(

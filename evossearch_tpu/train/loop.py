@@ -83,9 +83,11 @@ def _load_train_state(path: Path, template):
         with np.load(path, allow_pickle=False) as data:
             leaves, treedef = jax.tree_util.tree_flatten(template)
             loaded = [data[f"opt_{i}"] for i in range(len(leaves))]
-            if any(
-                l.shape != np.asarray(t).shape for l, t in zip(loaded, leaves)
-            ):
+            # t.shape reads device-array metadata; np.asarray(t) here
+            # would FETCH every freshly-initialized Adam moment tree to
+            # host through this rig's ~11 MB/s relay (~1.2 GB of zeros
+            # for ViT-B/32, minutes of stall) just to learn the shapes
+            if any(l.shape != t.shape for l, t in zip(loaded, leaves)):
                 return None, 0
             return (
                 jax.tree_util.tree_unflatten(treedef, loaded),

@@ -240,6 +240,60 @@ def test_bpe_cache_is_bounded():
     assert tok.encode("word3") == tok.encode("word3")
 
 
+# -- 7. hidden files are not indexed (reference glob.glob parity) ---------
+
+def test_scan_folder_skips_hidden_files(tmp_path):
+    from PIL import Image
+
+    from evossearch_tpu.index.builder import scan_folder
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(tmp_path / "visible.jpg")
+    Image.fromarray(arr).save(tmp_path / ".hidden.jpg")
+    (tmp_path / "._IMG_0001.jpg").write_bytes(b"AppleDouble junk")
+    names = [p.name for p in scan_folder(tmp_path)]
+    assert names == ["visible.jpg"]
+
+
+# -- 8. legacy metadata entries must be dict-shaped or synthesized --------
+
+def test_legacy_migration_synthesizes_malformed_metadata(tmp_path):
+    import pickle
+
+    from evossearch_tpu.index.legacy import migrate_legacy_index
+    from tests.test_legacy_migration import _write_faiss_flat
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((4, 8)).astype(np.float32)
+    root = tmp_path / ".clip_index"
+    root.mkdir()
+    _write_faiss_flat(root / "index.faiss", emb)
+    paths = [str(tmp_path / f"i{i}.jpg") for i in range(4)]
+    (root / "paths.pkl").write_bytes(pickle.dumps(paths))
+    # malformed entries: right length, wrong shape (tuples, not dicts)
+    (root / "metadata.pkl").write_bytes(
+        pickle.dumps([(p, 1.0, 2) for p in paths])
+    )
+    assert migrate_legacy_index(tmp_path, model_name="t") == 4
+    from evossearch_tpu.index import IndexReader
+
+    reader = IndexReader.open(tmp_path)
+    # synthesized dict metadata — downstream m["path"] subscripts work
+    assert all(m["path"] for m in reader.metadata)
+
+
+# -- 9. batcher submit after close fails fast, never hangs ----------------
+
+def test_batcher_submit_after_close_raises():
+    from evossearch_tpu.serving import MicroBatcher
+
+    mb = MicroBatcher(lambda folder, q, k: (np.zeros((q.shape[0], k)),) * 2)
+    mb.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit("f", np.zeros(4, np.float32), 2)
+
+
 # -- 6. stale-native rebuild loads the NEW binary ------------------------
 
 def test_rebuilt_native_loads_fresh_module():

@@ -338,7 +338,7 @@ def test_text_encode_batcher_equivalence(tmp_path, monkeypatch):
         np.testing.assert_allclose(got[t], want[t], atol=1e-6)
     tb = batched._text_batcher
     assert tb is not None and tb.dispatches >= 1
-    assert tb.batched_texts == len(texts)
+    assert tb.batched_queries == len(texts)
     batched.close()
     direct.close()
     # post-close submits fail fast instead of hanging
