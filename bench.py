@@ -408,15 +408,17 @@ class _PhaseTimeout(Exception):
 def _run_phase(fn, budget_s: int = 300):
     """Run one benchmark phase under its own watchdog budget.
 
-    Progress-based deadline: the alarm is re-armed per phase, so a run
-    that is slow overall but advancing (cold remote compiles for several
-    programs) never trips; only a phase making no progress for budget_s
-    does. The handler raises instead of exiting — a raise unwinds the
-    current phase and lets later phases (and the primary metric) proceed,
-    and never hard-kills a TPU-attached process mid-dispatch (which can
-    wedge the chip claim on this rig). If the process is truly stuck
-    inside a blocking C call no Python-level watchdog can fire anyway;
-    the driver's outer timeout is the backstop for that case.
+    Per-PHASE deadline (armed once at phase start, NOT re-armed on
+    progress): each phase gets its own fresh budget_s, so a run that is
+    slow overall never trips — but a single phase exceeding its budget
+    does, even while advancing; budgets are sized with that in mind
+    (main()'s budgets dict). The handler raises instead of exiting — a
+    raise unwinds the current phase and lets later phases (and the
+    primary metric) proceed, and never hard-kills a TPU-attached process
+    mid-dispatch (which can wedge the chip claim on this rig). If the
+    process is truly stuck inside a blocking C call no Python-level
+    watchdog can fire anyway; the driver's outer timeout is the backstop
+    for that case.
     """
     import signal
 
@@ -632,23 +634,25 @@ def bench_device_pipeline() -> None:
     canvases, a_h_u, a_w_u, size_idx = prepare_batch(arrays, target=224)
     eng = SearchEngine(cfg=Config(env_path=None),
                        spec=CLIP_MODEL_SPECS["ViT-B/32"])
-    t0 = time.perf_counter()
-    canv_d = jax.device_put(canvases)
-    ah_d, aw_d = jax.device_put(a_h_u), jax.device_put(a_w_u)
-    si_d = jax.device_put(size_idx)
-    _sync((canv_d, ah_d, aw_d, si_d))
-    log(f"bench_device_pipeline: uploaded {canvases.nbytes / 1e6:.0f} MB "
-        f"of canvases in {time.perf_counter() - t0:.1f}s (one-time)")
-    fn = eng._jit_prep_encode
-    _sync(fn(eng.params, canv_d, ah_d, aw_d, si_d))  # compile
-    ms, note = _paired_reps_ms(
-        lambda: fn(eng.params, canv_d, ah_d, aw_d, si_d), 12
-    )
-    summary(f"device pipeline (fused preprocess+encode, 480x640 uint8 -> "
-            f"embedding): {batch / ms * 1e3:.0f} img/s/chip (batch {batch}, "
-            f"paired-reps) [indexing device ceiling; target >= 1000]"
-            f"{note}", prio=1)
-    eng.close()  # don't leak batcher threads into later phases
+    try:
+        t0 = time.perf_counter()
+        canv_d = jax.device_put(canvases)
+        ah_d, aw_d = jax.device_put(a_h_u), jax.device_put(a_w_u)
+        si_d = jax.device_put(size_idx)
+        _sync((canv_d, ah_d, aw_d, si_d))
+        log(f"bench_device_pipeline: uploaded {canvases.nbytes / 1e6:.0f} "
+            f"MB of canvases in {time.perf_counter() - t0:.1f}s (one-time)")
+        fn = eng._jit_prep_encode
+        _sync(fn(eng.params, canv_d, ah_d, aw_d, si_d))  # compile
+        ms, note = _paired_reps_ms(
+            lambda: fn(eng.params, canv_d, ah_d, aw_d, si_d), 12
+        )
+        summary(f"device pipeline (fused preprocess+encode, 480x640 uint8 "
+                f"-> embedding): {batch / ms * 1e3:.0f} img/s/chip (batch "
+                f"{batch}, paired-reps) [indexing device ceiling; "
+                f"target >= 1000]{note}", prio=1)
+    finally:
+        eng.close()  # even on phase timeout: no batcher-thread leak
 
 
 def bench_ivf() -> None:
@@ -907,6 +911,14 @@ def bench_sq8() -> None:
                                 jnp.float32)
     queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
 
+    # measure THIS run's RPC floor (bench_search does the same): the
+    # documented floor ranges 25-40 ms day to day, and a hardcoded
+    # subtraction overstated the sweep bandwidth ~40% on high-floor days
+    trivial = jax.jit(lambda x: x + 1.0)
+    zeros = jnp.zeros((8,))
+    _sync(trivial(zeros))
+    floor_ms = _p50(lambda: trivial(zeros), iters=8)
+
     sel = lambda: _sq8_select(e8, scal2, queries, fetch, SQ8_TILE_ROWS, False)
     packed = np.asarray(sel())  # compile
     t_wall = _p50(sel, iters=8)
@@ -939,11 +951,13 @@ def bench_sq8() -> None:
             packed[qi, -2] > 0 and s[-1] >= packed[qi, fetch - 1]
             and packed[qi, -1] < s[-1]
         )
-    # ~floor-adjusted; clamp so a fast relay day can't print negative GB/s
-    gbps = n * (DIM + 8) / (max(t_wall - 25.0, 1.0) * 1e-3) / 1e9
+    # floor-adjusted with the MEASURED floor; clamp so a fast relay day
+    # can't print negative/absurd GB/s
+    gbps = n * (DIM + 8) / (max(t_wall - floor_ms, 1.0) * 1e-3) / 1e9
     summary(f"SQ8 20M rows EXACT, batched {QUERY_BATCH}: select p50 "
             f"{t_wall:.1f}ms wall = {t_wall / QUERY_BATCH:.3f} ms/query "
-            f"(~{gbps:.0f} GB/s sweep), cert {certs}/{QUERY_BATCH} "
+            f"(~{gbps:.0f} GB/s net of {floor_ms:.0f}ms measured floor), "
+            f"cert {certs}/{QUERY_BATCH} "
             f"[capacity: 2x the bf16 HBM ceiling, exact results]", prio=0)
 
 
@@ -1092,9 +1106,10 @@ def bench_serve() -> None:
             index_folder_name=cfg.INDEX_FOLDER_NAME,
         )
         for start in range(0, n, chunk):
-            emb = rng.standard_normal((chunk, DIM)).astype(np.float32)
+            rows = min(chunk, n - start)  # final chunk partial: exactly n
+            emb = rng.standard_normal((rows, DIM)).astype(np.float32)
             emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-            w.append(emb, [img_path] * chunk, [{}] * chunk)
+            w.append(emb, [img_path] * rows, [{}] * rows)
         w.finalize()
         log(f"bench_serve: wrote 1M-row bf16 store in "
             f"{time.perf_counter() - t0:.0f}s")
@@ -1135,6 +1150,7 @@ def bench_serve() -> None:
 
         lat: list[float] = []
         lat_lock = threading.Lock()
+        failures = [0] * threads
 
         def worker(tid):
             client = TestClient(app)
@@ -1142,7 +1158,13 @@ def bench_serve() -> None:
             for i in range(per_thread):
                 t0 = time.perf_counter()
                 r = query(client, f"{tid}-{i}")
-                assert r.status_code == 200
+                if r.status_code != 200:
+                    # count and continue — an assert here killed the whole
+                    # thread (swallowed by threading.excepthook), silently
+                    # discarding its sample while the summary printed as
+                    # if all requests succeeded
+                    failures[tid] += 1
+                    continue
                 mine.append((time.perf_counter() - t0) * 1e3)
             with lat_lock:
                 lat.extend(mine)
@@ -1156,6 +1178,10 @@ def bench_serve() -> None:
         for t in ts:
             t.join()
         wall = time.perf_counter() - t0
+        if not lat:
+            summary(f"serve HTTP: ALL {threads * per_thread} requests "
+                    f"FAILED in {wall:.1f}s", prio=0)
+            return
         qps = len(lat) / wall
         # micro-batching effectiveness: how many device dispatches served
         # the burst (text tower + search), i.e. the achieved batch sizes
@@ -1170,11 +1196,14 @@ def bench_serve() -> None:
             log(f"bench_serve: embedding search {sb.batched_queries} "
                 f"queries in {sb.dispatches} dispatches "
                 f"(avg {sb.batched_queries / max(sb.dispatches, 1):.1f}/batch)")
+        nfail = sum(failures)
         summary(f"serve HTTP {threads} threads x {per_thread} fresh-text "
                 f"queries @1M bf16: {qps:.0f} qps, p50="
                 f"{np.percentile(lat, 50):.0f}ms p99="
                 f"{np.percentile(lat, 99):.0f}ms "
-                f"(reference: single-threaded dev server)", prio=0)
+                f"(reference: single-threaded dev server)"
+                + (f" [{nfail} FAILED requests]" if nfail else ""),
+                prio=0)
     finally:
         if eng is not None:
             eng.close()

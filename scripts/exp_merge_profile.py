@@ -86,13 +86,14 @@ def main():
     print("-- total dur (us) per track --", flush=True)
     for t, d in sorted(by_track.items(), key=lambda x: -x[1])[:12]:
         print(f"  {d/REPS:12.1f} us/rep  {t}", flush=True)
+    # DEVICE ops only (fall back to all tracks if the trace exposes no
+    # TPU track): aggregating every event mixed host spans (~30 ms/rep
+    # relay waits) into the listing and could name a host wait as the
+    # top "op" instead of the device merge op this script exists to find
     src = by_op or by_track
-    print(f"-- top ops (us/rep over {REPS} reps) --", flush=True)
-    agg = defaultdict(float)
-    for e in events:
-        if e.get("ph") == "X" and "dur" in e:
-            agg[e["name"]] += e["dur"]
-    for name, d in sorted(agg.items(), key=lambda x: -x[1])[:40]:
+    which = "device ops" if by_op else "all tracks (no TPU track found)"
+    print(f"-- top {which} (us/rep over {REPS} reps) --", flush=True)
+    for name, d in sorted(src.items(), key=lambda x: -x[1])[:40]:
         print(f"  {d/REPS:12.1f}  {name[:110]}", flush=True)
 
 

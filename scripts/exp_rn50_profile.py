@@ -102,6 +102,15 @@ def main() -> None:
         total_flops += f
     seg_flops.append(("attnpool", attnpool_flops(SPEC)))
     total_flops += attnpool_flops(SPEC)
+    # the per-segment split must reconcile with bench.py's MFU
+    # denominator — this attribution report exists to explain the bench
+    # number, so a drift between the two formulas is a bug here
+    from bench import _resnet_fwd_flops
+
+    bench_total = _resnet_fwd_flops(SPEC)
+    assert abs(total_flops - bench_total) / bench_total < 1e-6, (
+        total_flops, bench_total,
+    )
 
     full_ms = timed(full, params, img)
     ips = BATCH / full_ms * 1e3

@@ -5,7 +5,11 @@ Run on the real TPU:  python scripts/kbench2.py
 Interleaves reps round-robin across candidates to cancel relay drift.
 """
 import functools
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 import jax

@@ -59,9 +59,17 @@ def smoke_serve() -> None:
 
 
 def smoke_train() -> None:
-    from evossearch_tpu.core import CLIP_MODEL_SPECS
+    # a genuinely tiny spec: the full ViT-B/32 fwd+bwd+AdamW jit costs
+    # minutes of XLA compile on the 1-core CPU rig, defeating the
+    # runs-in-seconds purpose of the smoke (a prior version assigned the
+    # full spec here, making the replacement a no-op)
+    from evossearch_tpu.core.constants import CLIPModelSpec
 
-    bench.__dict__["_TINY_SPEC"] = CLIP_MODEL_SPECS["ViT-B/32"]
+    bench.__dict__["_TINY_SPEC"] = CLIPModelSpec(
+        name="smoke-tiny", image_size=32, patch_size=16, vision_width=64,
+        vision_layers=2, vision_heads=4, text_width=64, text_layers=2,
+        text_heads=4, vocab_size=49408, context_length=16, embed_dim=32,
+    )
     try:
         _patched_phase(
             bench.bench_train,

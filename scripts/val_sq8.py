@@ -236,12 +236,25 @@ def main():
     queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
     # fetch ladder: the merge's ApproxTopK degenerates to a full O(n*k)
     # TopK (l == n at these k/recall points), so smaller fetch is the
-    # merge-cost lever — IF the certificates still pass at this scale
+    # merge-cost lever — IF the certificates still pass at this scale.
+    # The oracle is fetch-INDEPENDENT: compute (and host-fetch) it once
+    # for the whole ladder instead of sweeping the 10 GB corpus three
+    # times.
+    oracle_cache: list = []
+
+    def oracle_once():
+        if not oracle_cache:
+            oracle_cache.append(tuple(
+                np.asarray(x)
+                for x in oracle_dequant(e8, scal2, n, queries)
+            ))
+        return oracle_cache[0]
+
     for fetch in (512, 256, 128):
         evaluate(
             f"B/capacity fetch={fetch}", n, e8, scal2, queries,
             lambda ids: rerank_dequant(e8, scal2, ids, queries),
-            lambda: oracle_dequant(e8, scal2, n, queries),
+            oracle_once,
             fetch=fetch,
         )
 
